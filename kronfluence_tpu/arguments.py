@@ -1,0 +1,138 @@
+"""Argument dataclasses for factor and score computations.
+
+Field names and defaults mirror the reference (kronfluence/arguments.py:38-275)
+so user configs port unchanged. dtype fields accept strings, numpy dtypes, or
+jnp dtypes; they serialize to reference-compatible strings.
+
+TPU-specific notes:
+  * `amp_dtype` / `amp_scale`: on TPU, bfloat16 needs no loss scaling, so
+    `amp_scale` is accepted but ignored. `amp_dtype` is kept for config parity;
+    the per-stage dtype fields control the compute dtypes.
+  * `offload_activations_to_cpu`: accepted; the TPU build instead relies on
+    XLA rematerialization and per-layer streaming, so this is a no-op hint.
+"""
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+from kronfluence_tpu.utils.dtypes import canonical_dtype_name
+
+
+@dataclass
+class Arguments:
+    """Base class with JSON round-trip support."""
+
+    def to_dict(self) -> Dict[str, Any]:
+        config = {}
+        for f in dataclasses.fields(self):
+            value = getattr(self, f.name)
+            if f.name.endswith("dtype"):
+                value = canonical_dtype_name(value)
+            config[f.name] = value
+        return config
+
+    def to_str_dict(self) -> Dict[str, str]:
+        return {name: str(value) for name, value in self.to_dict().items()}
+
+
+@dataclass
+class FactorArguments(Arguments):
+    """Arguments for fitting influence factors.
+
+    Mirrors reference kronfluence/arguments.py:38-157.
+    """
+
+    # General configuration.
+    strategy: str = "ekfac"
+    use_empirical_fisher: bool = False
+    amp_dtype: Optional[Any] = None
+    amp_scale: float = 2.0**16  # Ignored on TPU (bf16 needs no loss scaling).
+    has_shared_parameters: bool = False
+    # RNG seed for sampled-label (true Fisher) loss. The reference relies on
+    # torch's implicit global RNG; JAX requires an explicit key.
+    seed: int = 0
+
+    # Covariance-matrix configuration.
+    covariance_max_examples: Optional[int] = 100_000
+    covariance_data_partitions: int = 1
+    covariance_module_partitions: int = 1
+    activation_covariance_dtype: Any = "float32"
+    gradient_covariance_dtype: Any = "float32"
+
+    # Eigendecomposition configuration. float64 runs on the host (LAPACK);
+    # float32 runs on-device.
+    eigendecomposition_dtype: Any = "float64"
+
+    # Lambda-matrix configuration.
+    lambda_max_examples: Optional[int] = 100_000
+    lambda_data_partitions: int = 1
+    lambda_module_partitions: int = 1
+    use_iterative_lambda_aggregation: bool = False
+    offload_activations_to_cpu: bool = False
+    per_sample_gradient_dtype: Any = "float32"
+    lambda_dtype: Any = "float32"
+
+    def __post_init__(self) -> None:
+        if self.strategy not in ("identity", "diagonal", "kfac", "ekfac"):
+            raise ValueError(f"Unknown strategy: {self.strategy!r}.")
+        for name in ("covariance_max_examples", "lambda_max_examples"):
+            value = getattr(self, name)
+            if value is not None and value <= 0:
+                raise ValueError(f"`{name}` must be positive or None.")
+        for name in (
+            "covariance_data_partitions",
+            "covariance_module_partitions",
+            "lambda_data_partitions",
+            "lambda_module_partitions",
+        ):
+            if getattr(self, name) <= 0:
+                raise ValueError(f"`{name}` must be positive.")
+
+
+@dataclass
+class ScoreArguments(Arguments):
+    """Arguments for computing influence scores.
+
+    Mirrors reference kronfluence/arguments.py:159-275.
+    """
+
+    # General configuration.
+    damping_factor: Optional[float] = 1.0e-08
+    amp_dtype: Optional[Any] = None
+    offload_activations_to_cpu: bool = False
+
+    # Partition configuration.
+    data_partitions: int = 1
+    module_partitions: int = 1
+
+    # Score configuration.
+    compute_per_module_scores: bool = False
+    compute_per_token_scores: bool = False
+
+    # Query-gradient batching configuration.
+    query_gradient_accumulation_steps: int = 1
+    query_gradient_low_rank: Optional[int] = None
+    use_full_svd: bool = False
+
+    # Gradient-aggregation configuration.
+    aggregate_query_gradients: bool = False
+    aggregate_train_gradients: bool = False
+
+    # Self-influence configuration.
+    use_measurement_for_self_influence: bool = False
+
+    # dtype configuration.
+    query_gradient_svd_dtype: Any = "float32"
+    per_sample_gradient_dtype: Any = "float32"
+    precondition_dtype: Any = "float32"
+    score_dtype: Any = "float32"
+
+    def __post_init__(self) -> None:
+        if self.damping_factor is not None and self.damping_factor < 0:
+            raise ValueError("`damping_factor` must be non-negative or None.")
+        for name in ("data_partitions", "module_partitions", "query_gradient_accumulation_steps"):
+            if getattr(self, name) <= 0:
+                raise ValueError(f"`{name}` must be positive.")
+        if self.query_gradient_low_rank is not None and self.query_gradient_low_rank <= 0:
+            raise ValueError("`query_gradient_low_rank` must be positive or None.")

@@ -1,0 +1,209 @@
+"""Computer base: output layout, argument/metadata persistence, loaders,
+partition math, and factor loading.
+
+Redesign of reference kronfluence/computer/computer.py:83-434 without the
+DDP-wrapping/device bookkeeping (SPMD shardings replace it): the directory
+layout `{output_dir}/{name}/factors_{fname}|scores_{sname}`, the
+argument-conflict detection, and the strategy-requirements-driven
+`load_all_factors` are preserved.
+"""
+
+import logging
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from kronfluence_tpu.arguments import Arguments, FactorArguments, ScoreArguments
+from kronfluence_tpu.factor import io as factor_io
+from kronfluence_tpu.factor.config import get_factor_config
+from kronfluence_tpu.factor.covariance import discover_stage_specs
+from kronfluence_tpu.parallel.mesh import data_axis_size
+from kronfluence_tpu.prepare import PreparedModel, prepare_model
+from kronfluence_tpu.task import Task
+from kronfluence_tpu.utils.constants import (
+    COVARIANCE_FACTOR_NAMES,
+    EIGENDECOMPOSITION_FACTOR_NAMES,
+    FACTOR_ARGUMENTS_NAME,
+    FACTOR_SAVE_PREFIX,
+    LAMBDA_FACTOR_NAMES,
+    SCORE_ARGUMENTS_NAME,
+    SCORE_SAVE_PREFIX,
+)
+from kronfluence_tpu.utils.dataset import (
+    BatchLoader,
+    DataLoaderKwargs,
+    dataset_length,
+    dataset_metadata,
+    make_indices_partition,
+)
+from kronfluence_tpu.utils.exceptions import FactorsNotFoundError
+from kronfluence_tpu.utils.logger import PassThroughProfiler, Profiler, get_logger
+from kronfluence_tpu.utils.save import load_json, save_json
+
+
+class Computer:
+    """Base orchestration: shared by FactorComputer and ScoreComputer."""
+
+    def __init__(
+        self,
+        name: str,
+        model: Any,
+        task: Task,
+        params: Any = None,
+        mesh: Any = None,
+        cpu: bool = False,
+        log_level: Optional[int] = None,
+        log_main_process_only: bool = True,
+        profile: bool = False,
+        disable_tqdm: bool = False,
+        output_dir: str = "./influence_results",
+    ) -> None:
+        self.name = name
+        self.task = task
+        self.mesh = mesh
+        self.model: PreparedModel = (
+            model if isinstance(model, PreparedModel) else prepare_model(model, task)
+        )
+        if params is None:
+            raise ValueError(
+                "`params` (the model parameter pytree) must be provided to the Analyzer."
+            )
+        self.params = params
+        self.cpu = cpu
+        self.disable_tqdm = disable_tqdm
+        self.logger = get_logger(type(self).__name__, log_level)
+        self.profiler = Profiler() if profile else PassThroughProfiler()
+        self.output_dir = Path(output_dir).joinpath(name).resolve()
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self._dataloader_params = DataLoaderKwargs()
+        self._specs_cache: Optional[Dict[str, Any]] = None
+
+    # -- Directory layout (reference: computer.py:127-133). --
+    def factors_output_dir(self, factors_name: str) -> Path:
+        return (self.output_dir / (FACTOR_SAVE_PREFIX + factors_name)).resolve()
+
+    def scores_output_dir(self, scores_name: str) -> Path:
+        return (self.output_dir / (SCORE_SAVE_PREFIX + scores_name)).resolve()
+
+    # -- Argument / metadata persistence (reference: computer.py:135-191). --
+    def _save_arguments(
+        self,
+        arguments_name: str,
+        arguments: Arguments,
+        output_dir: Path,
+        overwrite_output_dir: bool,
+    ) -> None:
+        path = output_dir / f"{arguments_name}_arguments.json"
+        arg_dict = arguments.to_dict()
+        if path.exists() and not overwrite_output_dir:
+            existing = load_json(path)
+            if existing != arg_dict:
+                raise ValueError(
+                    f"Found existing arguments at {path} that differ from the current "
+                    "ones. Use `overwrite_output_dir=True` to overwrite."
+                )
+        else:
+            save_json(arg_dict, path)
+
+    def _load_arguments(self, arguments_name: str, output_dir: Path) -> Optional[Dict]:
+        path = output_dir / f"{arguments_name}_arguments.json"
+        return load_json(path) if path.exists() else None
+
+    def _save_dataset_metadata(
+        self,
+        dataset_name: str,
+        dataset: Any,
+        output_dir: Path,
+        overwrite_output_dir: bool,
+        indices: Optional[Sequence[int]] = None,
+    ) -> None:
+        path = output_dir / f"{dataset_name}_dataset_metadata.json"
+        metadata = dataset_metadata(dataset, indices)
+        if path.exists() and not overwrite_output_dir:
+            existing = load_json(path)
+            if existing != metadata:
+                raise ValueError(
+                    f"Found existing dataset metadata at {path} that differs from the "
+                    "current dataset. Use `overwrite_output_dir=True` to overwrite."
+                )
+        else:
+            save_json(metadata, path)
+
+    # -- Loaders / batch sizing. --
+    def global_batch_size(self, per_device_batch_size: int) -> int:
+        return per_device_batch_size * data_axis_size(self.mesh)
+
+    def _get_loader(
+        self,
+        dataset: Any,
+        per_device_batch_size: Optional[int],
+        indices: Optional[Sequence[int]] = None,
+        initial_per_device_batch_size_attempt: int = 4096,
+    ) -> BatchLoader:
+        total = len(indices) if indices is not None else dataset_length(dataset)
+        if per_device_batch_size is None:
+            # No recoverable OOM exists under XLA; instead of the reference's
+            # halving search (utils/dataset.py:66-101) we clamp the initial
+            # attempt to the dataset size. Explicit batch sizes are preferred.
+            per_device_batch_size = max(
+                1, min(initial_per_device_batch_size_attempt, total) // data_axis_size(self.mesh)
+            )
+        return BatchLoader(dataset, self.global_batch_size(per_device_batch_size), indices)
+
+    # -- Module discovery / partitioning (reference: computer.py:250-316). --
+    def _layer_specs(self, dataset: Any = None) -> Dict[str, Any]:
+        if self._specs_cache is None:
+            if dataset is None:
+                raise RuntimeError(
+                    "Tracked modules are unknown until a dataset has been seen; run a "
+                    "factor/score stage first or pass a dataset."
+                )
+            loader = BatchLoader(dataset, 1)
+            batch, _ = next(iter(loader))
+            self._specs_cache = discover_stage_specs(
+                self.model, self.task, self.params, batch, self.model.tracked_names
+            )
+            if not self._specs_cache:
+                raise FactorsNotFoundError("No tracked modules found in the model.")
+        return self._specs_cache
+
+    def tracked_module_names(self, dataset: Any = None) -> List[str]:
+        return sorted(self._layer_specs(dataset))
+
+    def _partition_module_names(
+        self, module_names: List[str], module_partitions: int
+    ) -> List[List[str]]:
+        return [list(chunk) for chunk in np.array_split(module_names, module_partitions)]
+
+    # -- Factor loading (reference: computer.py:387-434). --
+    def load_all_factors(self, factors_name: str) -> Dict[str, Dict[str, np.ndarray]]:
+        """Loads every artifact the strategy needs for preconditioning."""
+        factors_dir = self.factors_output_dir(factors_name)
+        saved_args = self._load_arguments(FACTOR_ARGUMENTS_NAME, factors_dir)
+        strategy = (saved_args or {}).get("strategy", "ekfac")
+        config = get_factor_config(strategy)
+        factors: Dict[str, Dict[str, np.ndarray]] = {}
+        if config.requires_covariance_matrices_for_precondition:
+            factors.update(factor_io.load_covariance_matrices(factors_dir))
+        if config.requires_eigendecomposition_for_precondition:
+            if not factor_io.eigendecomposition_exist(factors_dir):
+                raise FactorsNotFoundError(
+                    f"Eigendecomposition results not found in {factors_dir}."
+                )
+            factors.update(factor_io.load_eigendecomposition(factors_dir))
+        if config.requires_lambda_matrices_for_precondition:
+            if not factor_io.lambda_matrices_exist(factors_dir):
+                raise FactorsNotFoundError(f"Lambda matrices not found in {factors_dir}.")
+            factors.update(factor_io.load_lambda_matrices(factors_dir))
+        return factors
+
+    def loaded_factor_args(self, factors_name: str) -> FactorArguments:
+        """Reconstructs the FactorArguments used to fit `factors_name`."""
+        saved = self._load_arguments(
+            FACTOR_ARGUMENTS_NAME, self.factors_output_dir(factors_name)
+        )
+        if saved is None:
+            return FactorArguments()
+        known = {f.name for f in FactorArguments.__dataclass_fields__.values()}
+        return FactorArguments(**{k: v for k, v in saved.items() if k in known})

@@ -1,0 +1,190 @@
+"""Hessian-approximation strategies: identity / diagonal / kfac / ekfac.
+
+Faithful re-derivation of the reference strategy registry
+(kronfluence/factor/config.py:21-353):
+
+  * a per-strategy boolean requirements matrix drives which artifacts each
+    pipeline stage needs;
+  * `prepare` performs the one-time damping + reciprocal on the host in
+    float64 (reference: LAMBDA_DTYPE, config.py:199-208,253-271,322-339),
+    producing an inverse-lambda matrix in the precondition dtype;
+  * `precondition` applies the damped iHVP `Q_g ((Q_g^T G Q_a) ∘ Λ^-1) Q_a^T`
+    on device (config.py:273-285,341-353) — two MXU matmul sandwiches plus an
+    elementwise multiply, which XLA fuses.
+"""
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Type
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kronfluence_tpu.utils.constants import (
+    ACTIVATION_EIGENVALUES_NAME,
+    ACTIVATION_EIGENVECTORS_NAME,
+    GRADIENT_EIGENVALUES_NAME,
+    GRADIENT_EIGENVECTORS_NAME,
+    HEURISTIC_DAMPING_SCALE,
+    LAMBDA_MATRIX_NAME,
+    NUM_LAMBDA_PROCESSED,
+)
+from kronfluence_tpu.utils.dtypes import resolve_dtype
+
+_STRATEGIES: Dict[str, Type["FactorConfig"]] = {}
+
+
+@dataclass
+class PreconditionState:
+    """Per-module device-ready preconditioning state."""
+
+    inverse_lambda: Optional[jax.Array] = None  # (out_dim, in_dim[+1])
+    activation_eigenvectors: Optional[jax.Array] = None  # (in_dim[+1], in_dim[+1])
+    gradient_eigenvectors: Optional[jax.Array] = None  # (out_dim, out_dim)
+
+
+class FactorConfig:
+    """Base strategy; subclasses self-register by name."""
+
+    strategy: str = ""
+
+    # Requirements matrix (reference: config.py:128-320).
+    requires_covariance_matrices: bool = False
+    requires_eigendecomposition: bool = False
+    requires_eigendecomposition_for_lambda: bool = False
+    requires_lambda_matrices: bool = False
+    requires_covariance_matrices_for_precondition: bool = False
+    requires_eigendecomposition_for_precondition: bool = False
+    requires_lambda_matrices_for_precondition: bool = False
+
+    def __init_subclass__(cls, strategy: Optional[str] = None, **kwargs) -> None:
+        super().__init_subclass__(**kwargs)
+        if strategy is not None:
+            cls.strategy = strategy
+            _STRATEGIES[strategy] = cls
+
+    @classmethod
+    def configs(cls) -> Dict[str, Type["FactorConfig"]]:
+        return dict(_STRATEGIES)
+
+    def prepare(
+        self,
+        factors: Dict[str, np.ndarray],
+        damping_factor: Optional[float],
+        precondition_dtype,
+    ) -> PreconditionState:
+        """Host-side one-time preparation of per-module precondition state."""
+        raise NotImplementedError
+
+    def precondition(self, gradient: jax.Array, state: PreconditionState) -> jax.Array:
+        """Device-side preconditioning of (batch, out_dim, in_dim[+1]) gradients."""
+        raise NotImplementedError
+
+    @staticmethod
+    def _damp_and_invert(
+        lambda_matrix: np.ndarray, damping_factor: Optional[float]
+    ) -> np.ndarray:
+        lam = np.asarray(lambda_matrix, dtype=np.float64)
+        if damping_factor is None:
+            damping_factor = HEURISTIC_DAMPING_SCALE * float(lam.mean())
+        return np.reciprocal(lam + damping_factor)
+
+
+class Identity(FactorConfig, strategy="identity"):
+    """No preconditioning: H ≈ I."""
+
+    def prepare(self, factors, damping_factor, precondition_dtype) -> PreconditionState:
+        del factors, damping_factor, precondition_dtype
+        return PreconditionState()
+
+    def precondition(self, gradient: jax.Array, state: PreconditionState) -> jax.Array:
+        del state
+        return gradient
+
+
+class Diagonal(FactorConfig, strategy="diagonal"):
+    """Diagonal Fisher: elementwise inverse of mean squared per-sample grads."""
+
+    requires_lambda_matrices = True
+    requires_lambda_matrices_for_precondition = True
+
+    def prepare(self, factors, damping_factor, precondition_dtype) -> PreconditionState:
+        dtype = resolve_dtype(precondition_dtype)
+        lam = np.asarray(factors[LAMBDA_MATRIX_NAME], dtype=np.float64)
+        lam = lam / float(np.asarray(factors[NUM_LAMBDA_PROCESSED]).item())
+        inv = self._damp_and_invert(lam, damping_factor)
+        return PreconditionState(inverse_lambda=jnp.asarray(inv, dtype=dtype))
+
+    def precondition(self, gradient: jax.Array, state: PreconditionState) -> jax.Array:
+        return gradient * state.inverse_lambda.astype(gradient.dtype)
+
+
+class _EigenbasisSandwich(FactorConfig):
+    """Shared device math for KFAC/EKFAC: Q_g ((Q_g^T G Q_a) ∘ Λ^-1) Q_a^T."""
+
+    def precondition(self, gradient: jax.Array, state: PreconditionState) -> jax.Array:
+        q_a = state.activation_eigenvectors.astype(gradient.dtype)
+        q_g = state.gradient_eigenvectors.astype(gradient.dtype)
+        inv_lambda = state.inverse_lambda.astype(gradient.dtype)
+        rotated = jnp.einsum("po,boi,iq->bpq", q_g.T, gradient, q_a)
+        rotated = rotated * inv_lambda
+        return jnp.einsum("op,bpq,qi->boi", q_g, rotated, q_a.T)
+
+
+class Kfac(_EigenbasisSandwich, strategy="kfac"):
+    """K-FAC: Λ is the Kronecker outer product of the factor eigenvalues."""
+
+    requires_covariance_matrices = True
+    requires_eigendecomposition = True
+    requires_eigendecomposition_for_precondition = True
+
+    def prepare(self, factors, damping_factor, precondition_dtype) -> PreconditionState:
+        dtype = resolve_dtype(precondition_dtype)
+        act_ev = np.asarray(factors[ACTIVATION_EIGENVALUES_NAME], dtype=np.float64)
+        grad_ev = np.asarray(factors[GRADIENT_EIGENVALUES_NAME], dtype=np.float64)
+        lam = np.outer(grad_ev, act_ev)  # (out_dim, in_dim[+1])
+        inv = self._damp_and_invert(lam, damping_factor)
+        return PreconditionState(
+            inverse_lambda=jnp.asarray(inv, dtype=dtype),
+            activation_eigenvectors=jnp.asarray(
+                factors[ACTIVATION_EIGENVECTORS_NAME], dtype=dtype
+            ),
+            gradient_eigenvectors=jnp.asarray(
+                factors[GRADIENT_EIGENVECTORS_NAME], dtype=dtype
+            ),
+        )
+
+
+class Ekfac(_EigenbasisSandwich, strategy="ekfac"):
+    """EK-FAC: eigenvalues corrected by fitted per-sample-gradient second moments."""
+
+    requires_covariance_matrices = True
+    requires_eigendecomposition = True
+    requires_eigendecomposition_for_lambda = True
+    requires_lambda_matrices = True
+    requires_eigendecomposition_for_precondition = True
+    requires_lambda_matrices_for_precondition = True
+
+    def prepare(self, factors, damping_factor, precondition_dtype) -> PreconditionState:
+        dtype = resolve_dtype(precondition_dtype)
+        lam = np.asarray(factors[LAMBDA_MATRIX_NAME], dtype=np.float64)
+        lam = lam / float(np.asarray(factors[NUM_LAMBDA_PROCESSED]).item())
+        inv = self._damp_and_invert(lam, damping_factor)
+        return PreconditionState(
+            inverse_lambda=jnp.asarray(inv, dtype=dtype),
+            activation_eigenvectors=jnp.asarray(
+                factors[ACTIVATION_EIGENVECTORS_NAME], dtype=dtype
+            ),
+            gradient_eigenvectors=jnp.asarray(
+                factors[GRADIENT_EIGENVECTORS_NAME], dtype=dtype
+            ),
+        )
+
+
+def get_factor_config(strategy: str) -> FactorConfig:
+    try:
+        return _STRATEGIES[strategy]()
+    except KeyError as exc:
+        raise ValueError(
+            f"Unknown strategy {strategy!r}; available: {sorted(_STRATEGIES)}."
+        ) from exc

@@ -1,0 +1,175 @@
+"""Covariance-fitting stage driver.
+
+Functional redesign of `fit_covariance_matrices_with_loader`
+(reference: kronfluence/factor/covariance.py:153-266). One jitted step
+captures all per-layer (activation, output-gradient) pairs via a single vjp
+and folds the `A^T A` / `G^T G` rank-k updates into the same XLA program as
+the model forward/backward — the reference's forward/backward hooks, GradScaler
+plumbing, `no_sync`, periodic barriers, and end-of-stage `dist.reduce` all
+disappear: cross-device reduction is inserted by XLA from the sharding
+annotations (batch sharded over the mesh data axis, factor state replicated).
+"""
+
+from functools import partial
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kronfluence_tpu.arguments import FactorArguments
+from kronfluence_tpu.capture.engine import capture, discover_specs
+from kronfluence_tpu.ops.covariance import gram
+from kronfluence_tpu.ops.flatten import flatten_activation, flatten_gradient
+from kronfluence_tpu.parallel.mesh import replicated, shard_batch
+from kronfluence_tpu.prepare import PreparedModel
+from kronfluence_tpu.task import Task
+from kronfluence_tpu.utils.constants import (
+    ACTIVATION_COVARIANCE_MATRIX_NAME,
+    GRADIENT_COVARIANCE_MATRIX_NAME,
+    NUM_ACTIVATION_COVARIANCE_PROCESSED,
+    NUM_GRADIENT_COVARIANCE_PROCESSED,
+)
+from kronfluence_tpu.utils.dtypes import accumulation_dtype, resolve_dtype
+
+
+def _attention_mask_for(module_name: str, masks: Any) -> Optional[jax.Array]:
+    if masks is None:
+        return None
+    if isinstance(masks, dict):
+        return masks.get(module_name)
+    return masks
+
+
+def train_loss_forward(
+    model: PreparedModel,
+    task: Task,
+    params: Any,
+    batch: Any,
+    sample: bool,
+    rng: Optional[jax.Array],
+):
+    """Builds the zero-arg loss closure captured by the engine."""
+
+    def forward():
+        return task.compute_train_loss(batch, model.bind(params), sample=sample, rng=rng)
+
+    return forward
+
+
+def discover_stage_specs(
+    model: PreparedModel,
+    task: Task,
+    params: Any,
+    batch: Any,
+    tracked_names: Optional[Sequence[str]],
+):
+    """Host-side abstract discovery of tracked-layer specs on an example batch."""
+    rng = jax.random.PRNGKey(0)
+    forward = train_loss_forward(model, task, params, batch, sample=False, rng=rng)
+    specs, _ = discover_specs(forward, tracked_names)
+    return specs
+
+
+def fit_covariance_matrices_with_loader(
+    model: PreparedModel,
+    params: Any,
+    task: Task,
+    loader,
+    factor_args: Optional[FactorArguments] = None,
+    tracked_names: Optional[Sequence[str]] = None,
+    mesh=None,
+    profiler=None,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Fits activation/gradient covariance over all batches of `loader`."""
+    factor_args = factor_args or FactorArguments()
+    tracked_names = tracked_names if tracked_names is not None else model.tracked_names
+    act_dtype = resolve_dtype(factor_args.activation_covariance_dtype)
+    grad_dtype = resolve_dtype(factor_args.gradient_covariance_dtype)
+    act_accum = accumulation_dtype(act_dtype)
+    grad_accum = accumulation_dtype(grad_dtype)
+    sample = not factor_args.use_empirical_fisher
+    base_rng = jax.random.PRNGKey(factor_args.seed)
+
+    loader_iter = iter(loader)
+    try:
+        first_batch, first_valid = next(loader_iter)
+    except StopIteration:
+        raise ValueError("Empty loader for covariance fitting.")
+
+    specs = discover_stage_specs(model, task, params, first_batch, tracked_names)
+
+    state = {
+        name: {
+            ACTIVATION_COVARIANCE_MATRIX_NAME: jnp.zeros(
+                (spec.activation_dim, spec.activation_dim), act_accum
+            ),
+            GRADIENT_COVARIANCE_MATRIX_NAME: jnp.zeros(
+                (spec.gradient_dim, spec.gradient_dim), grad_accum
+            ),
+            NUM_ACTIVATION_COVARIANCE_PROCESSED: jnp.zeros((), jnp.int32),
+            NUM_GRADIENT_COVARIANCE_PROCESSED: jnp.zeros((), jnp.int32),
+        }
+        for name, spec in specs.items()
+    }
+
+    out_shardings = (
+        jax.tree_util.tree_map(lambda _: replicated(mesh), state) if mesh is not None else None
+    )
+
+    @partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)
+    def step(state, params, batch, valid, rng):
+        forward = train_loss_forward(model, task, params, batch, sample, rng)
+        _, captures = capture(forward, tracked_names)
+        masks = task.get_attention_mask(batch)
+        for name, cap in captures.items():
+            spec = cap.spec
+            att = _attention_mask_for(name, masks)
+            mod_state = state[name]
+            for a, dy in zip(cap.activations, cap.output_gradients):
+                a_flat, count_a = flatten_activation(spec, a, att, valid, act_dtype)
+                mod_state[ACTIVATION_COVARIANCE_MATRIX_NAME] += gram(a_flat, act_accum)
+                mod_state[NUM_ACTIVATION_COVARIANCE_PROCESSED] += count_a
+                g_flat, count_g = flatten_gradient(spec, dy, att, valid, grad_dtype)
+                mod_state[GRADIENT_COVARIANCE_MATRIX_NAME] += gram(g_flat, grad_accum)
+                mod_state[NUM_GRADIENT_COVARIANCE_PROCESSED] += count_g
+        return state
+
+    step_idx = 0
+
+    def run_batch(batch, valid):
+        nonlocal state, step_idx
+        rng = jax.random.fold_in(base_rng, step_idx)
+        batch = shard_batch(mesh, batch)
+        valid = shard_batch(mesh, valid)
+        state = step(state, params, batch, valid, rng)
+        step_idx += 1
+
+    run_batch(first_batch, first_valid)
+    for batch, valid in loader_iter:
+        run_batch(batch, valid)
+
+    jax.block_until_ready(state)
+
+    # Assemble the on-disk factor dict (factor_name -> module -> tensor) in the
+    # requested artifact dtypes; counts as int64 singletons matching reference.
+    result: Dict[str, Dict[str, np.ndarray]] = {
+        ACTIVATION_COVARIANCE_MATRIX_NAME: {},
+        GRADIENT_COVARIANCE_MATRIX_NAME: {},
+        NUM_ACTIVATION_COVARIANCE_PROCESSED: {},
+        NUM_GRADIENT_COVARIANCE_PROCESSED: {},
+    }
+    for name, mod_state in state.items():
+        result[ACTIVATION_COVARIANCE_MATRIX_NAME][name] = np.asarray(
+            mod_state[ACTIVATION_COVARIANCE_MATRIX_NAME].astype(act_dtype)
+        )
+        result[GRADIENT_COVARIANCE_MATRIX_NAME][name] = np.asarray(
+            mod_state[GRADIENT_COVARIANCE_MATRIX_NAME].astype(grad_dtype)
+        )
+        result[NUM_ACTIVATION_COVARIANCE_PROCESSED][name] = np.asarray(
+            [int(mod_state[NUM_ACTIVATION_COVARIANCE_PROCESSED])], dtype=np.int64
+        )
+        result[NUM_GRADIENT_COVARIANCE_PROCESSED][name] = np.asarray(
+            [int(mod_state[NUM_GRADIENT_COVARIANCE_PROCESSED])], dtype=np.int64
+        )
+    return result

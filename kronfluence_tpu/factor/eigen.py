@@ -1,0 +1,245 @@
+"""Eigendecomposition and Lambda (EK-FAC eigenvalue correction) stage drivers.
+
+Redesign of reference kronfluence/factor/eigen.py:140-462:
+
+  * `perform_eigendecomposition` — normalized, symmetrized `eigh` per factor.
+    float64 runs on the host (LAPACK); TPUs have no fast fp64 path, and the
+    eigh stage is <1% of end-to-end time in the reference's own profiles
+    (BASELINE.md), so host fp64 preserves the reference's numerics exactly.
+    float32 requests run on-device via `jnp.linalg.eigh`.
+
+  * `fit_lambda_matrices_with_loader` — accumulates
+    `Λ += Σ_b (Q_g^T g_b Q_a)^2` (reference: module/tracker/factor.py:204-230).
+    Instead of materializing each per-sample gradient and sandwiching it with
+    two dense matmuls, the activation/gradient *token* streams are rotated
+    into the eigenbases first (`a @ Q_a`, `dy @ Q_g`) and the per-sample
+    gradient is formed directly in the eigenbasis — algebraically identical
+    (associativity of the Kronecker sandwich) and cheaper on the MXU whenever
+    tokens-per-sample < activation_dim.
+"""
+
+from functools import partial
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kronfluence_tpu.arguments import FactorArguments
+from kronfluence_tpu.capture.engine import capture
+from kronfluence_tpu.factor.config import get_factor_config
+from kronfluence_tpu.factor.covariance import train_loss_forward
+from kronfluence_tpu.ops.covariance import per_sample_gradient as psg_op
+from kronfluence_tpu.ops.flatten import activation_tokens_with_bias, gradient_tokens
+from kronfluence_tpu.parallel.mesh import replicated, shard_batch
+from kronfluence_tpu.prepare import PreparedModel
+from kronfluence_tpu.task import Task
+from kronfluence_tpu.utils.constants import (
+    ACTIVATION_COVARIANCE_MATRIX_NAME,
+    ACTIVATION_EIGENVALUES_NAME,
+    ACTIVATION_EIGENVECTORS_NAME,
+    GRADIENT_COVARIANCE_MATRIX_NAME,
+    GRADIENT_EIGENVALUES_NAME,
+    GRADIENT_EIGENVECTORS_NAME,
+    LAMBDA_MATRIX_NAME,
+    NUM_ACTIVATION_COVARIANCE_PROCESSED,
+    NUM_GRADIENT_COVARIANCE_PROCESSED,
+    NUM_LAMBDA_PROCESSED,
+)
+from kronfluence_tpu.utils.dtypes import accumulation_dtype, canonical_dtype_name, resolve_dtype
+from kronfluence_tpu.utils.exceptions import FactorsNotFoundError
+
+
+def _eigh(matrix: np.ndarray, dtype_name: str):
+    if dtype_name == "float32":
+        # On-device path (TPU eigh in fp32).
+        evals, evecs = jnp.linalg.eigh(jnp.asarray(matrix, dtype=jnp.float32))
+        return np.asarray(evals), np.asarray(evecs)
+    evals, evecs = np.linalg.eigh(np.asarray(matrix, dtype=np.dtype(dtype_name)))
+    return evals, evecs
+
+
+def perform_eigendecomposition(
+    covariance_factors: Dict[str, Dict[str, np.ndarray]],
+    factor_args: Optional[FactorArguments] = None,
+    profiler=None,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Eigendecomposes both covariance factors of every module."""
+    factor_args = factor_args or FactorArguments()
+    dtype_name = canonical_dtype_name(factor_args.eigendecomposition_dtype)
+    eigen_factors: Dict[str, Dict[str, np.ndarray]] = {
+        name: {}
+        for name in (
+            ACTIVATION_EIGENVECTORS_NAME,
+            ACTIVATION_EIGENVALUES_NAME,
+            GRADIENT_EIGENVECTORS_NAME,
+            GRADIENT_EIGENVALUES_NAME,
+        )
+    }
+    for module_name in covariance_factors[ACTIVATION_COVARIANCE_MATRIX_NAME]:
+        for cov_name, count_name, evec_name, eval_name in (
+            (
+                ACTIVATION_COVARIANCE_MATRIX_NAME,
+                NUM_ACTIVATION_COVARIANCE_PROCESSED,
+                ACTIVATION_EIGENVECTORS_NAME,
+                ACTIVATION_EIGENVALUES_NAME,
+            ),
+            (
+                GRADIENT_COVARIANCE_MATRIX_NAME,
+                NUM_GRADIENT_COVARIANCE_PROCESSED,
+                GRADIENT_EIGENVECTORS_NAME,
+                GRADIENT_EIGENVALUES_NAME,
+            ),
+        ):
+            original = covariance_factors[cov_name][module_name]
+            original_dtype = original.dtype
+            count = float(np.asarray(covariance_factors[count_name][module_name]).item())
+            matrix = np.asarray(original, dtype=np.float64) / count
+            matrix = 0.5 * (matrix + matrix.T)
+            evals, evecs = _eigh(matrix, dtype_name)
+            eigen_factors[eval_name][module_name] = np.ascontiguousarray(
+                evals.astype(original_dtype)
+            )
+            eigen_factors[evec_name][module_name] = np.ascontiguousarray(
+                evecs.astype(original_dtype)
+            )
+    return eigen_factors
+
+
+def fit_lambda_matrices_with_loader(
+    model: PreparedModel,
+    params: Any,
+    task: Task,
+    loader,
+    factor_args: Optional[FactorArguments] = None,
+    eigen_factors: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
+    tracked_names: Optional[Sequence[str]] = None,
+    mesh=None,
+    profiler=None,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Fits Lambda matrices (squared per-sample gradients in the eigenbasis)."""
+    from kronfluence_tpu.factor.covariance import discover_stage_specs
+
+    factor_args = factor_args or FactorArguments()
+    tracked_names = tracked_names if tracked_names is not None else model.tracked_names
+    config = get_factor_config(factor_args.strategy)
+    use_eigenbasis = config.requires_eigendecomposition_for_lambda
+    psg_dtype = resolve_dtype(factor_args.per_sample_gradient_dtype)
+    lambda_dtype = resolve_dtype(factor_args.lambda_dtype)
+    lambda_accum = accumulation_dtype(lambda_dtype)
+    sample = not factor_args.use_empirical_fisher
+    base_rng = jax.random.PRNGKey(factor_args.seed + 1)
+    post_process = task.enable_post_process_per_sample_gradient
+
+    if use_eigenbasis:
+        if eigen_factors is None:
+            raise FactorsNotFoundError(
+                f"Strategy {factor_args.strategy!r} requires eigendecomposition results "
+                "for Lambda computations, but they were not provided."
+            )
+        q_a_host = {
+            name: jnp.asarray(arr, dtype=psg_dtype)
+            for name, arr in eigen_factors[ACTIVATION_EIGENVECTORS_NAME].items()
+        }
+        q_g_host = {
+            name: jnp.asarray(arr, dtype=psg_dtype)
+            for name, arr in eigen_factors[GRADIENT_EIGENVECTORS_NAME].items()
+        }
+    else:
+        q_a_host, q_g_host = {}, {}
+
+    loader_iter = iter(loader)
+    try:
+        first_batch, first_valid = next(loader_iter)
+    except StopIteration:
+        raise ValueError("Empty loader for lambda fitting.")
+    specs = discover_stage_specs(model, task, params, first_batch, tracked_names)
+
+    state = {
+        name: {
+            LAMBDA_MATRIX_NAME: jnp.zeros(
+                (spec.gradient_dim, spec.activation_dim), lambda_accum
+            ),
+            NUM_LAMBDA_PROCESSED: jnp.zeros((), jnp.int32),
+        }
+        for name, spec in specs.items()
+    }
+
+    out_shardings = (
+        jax.tree_util.tree_map(lambda _: replicated(mesh), state) if mesh is not None else None
+    )
+
+    def _lambda_contribution(spec, name, activations, output_gradients, valid, eigvecs):
+        """Σ_b (projected per-sample grad)^2 for one module, one batch."""
+        q_a, q_g = eigvecs.get(name, (None, None))
+        # Shared parameters (module applied multiple times per forward) must
+        # sum per-sample gradients across uses *before* squaring
+        # (reference: tracker/factor.py:275-301). Use counts are static at
+        # trace time, so sharing is auto-detected — no flag needed.
+        if post_process or len(activations) > 1:
+            # Materialize raw per-sample gradients (summed over uses), apply
+            # optional post-processing, then sandwich-project.
+            psg = None
+            for a, dy in zip(activations, output_gradients):
+                a_tok = activation_tokens_with_bias(spec, a, psg_dtype)
+                g_tok = gradient_tokens(spec, dy, valid, psg_dtype)
+                contrib = psg_op(a_tok, g_tok, psg_dtype)
+                psg = contrib if psg is None else psg + contrib
+            if post_process:
+                psg = task.post_process_per_sample_gradient(name, psg)
+            psg = psg.astype(lambda_dtype)
+            if use_eigenbasis:
+                psg = jnp.einsum("po,boi,iq->bpq", q_g.T.astype(lambda_dtype), psg, q_a.astype(lambda_dtype))
+            return jnp.sum(jnp.square(psg), axis=0).astype(lambda_accum)
+        # Fast path: rotate token streams into the eigenbases first.
+        total = None
+        for a, dy in zip(activations, output_gradients):
+            a_tok = activation_tokens_with_bias(spec, a, psg_dtype)
+            g_tok = gradient_tokens(spec, dy, valid, psg_dtype)
+            if use_eigenbasis:
+                a_tok = jnp.matmul(a_tok, q_a, preferred_element_type=psg_dtype)
+                g_tok = jnp.matmul(g_tok, q_g, preferred_element_type=psg_dtype)
+            psg = psg_op(a_tok, g_tok, lambda_dtype)
+            contrib = jnp.sum(jnp.square(psg), axis=0).astype(lambda_accum)
+            total = contrib if total is None else total + contrib
+        return total
+
+    @partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)
+    def step(state, params, batch, valid, rng, q_a_all, q_g_all):
+        forward = train_loss_forward(model, task, params, batch, sample, rng)
+        _, captures = capture(forward, tracked_names)
+        eigvecs = {
+            name: (q_a_all.get(name), q_g_all.get(name)) for name in captures
+        }
+        num_valid = jnp.sum(valid.astype(jnp.int32))
+        for name, cap in captures.items():
+            state[name][LAMBDA_MATRIX_NAME] += _lambda_contribution(
+                cap.spec, name, cap.activations, cap.output_gradients, valid, eigvecs
+            )
+            state[name][NUM_LAMBDA_PROCESSED] += num_valid
+        return state
+
+    step_idx = 0
+
+    def run_batch(batch, valid):
+        nonlocal state, step_idx
+        rng = jax.random.fold_in(base_rng, step_idx)
+        batch = shard_batch(mesh, batch)
+        valid = shard_batch(mesh, valid)
+        state = step(state, params, batch, valid, rng, q_a_host, q_g_host)
+        step_idx += 1
+
+    run_batch(first_batch, first_valid)
+    for batch, valid in loader_iter:
+        run_batch(batch, valid)
+    jax.block_until_ready(state)
+
+    result: Dict[str, Dict[str, np.ndarray]] = {LAMBDA_MATRIX_NAME: {}, NUM_LAMBDA_PROCESSED: {}}
+    for name, mod_state in state.items():
+        result[LAMBDA_MATRIX_NAME][name] = np.asarray(
+            mod_state[LAMBDA_MATRIX_NAME].astype(lambda_dtype)
+        )
+        result[NUM_LAMBDA_PROCESSED][name] = np.asarray(
+            [int(mod_state[NUM_LAMBDA_PROCESSED])], dtype=np.int64
+        )
+    return result

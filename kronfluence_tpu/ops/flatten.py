@@ -1,0 +1,165 @@
+"""Flatten rules: map raw (activation, output-gradient) pairs to Kronecker form.
+
+Implements the reference's per-module-type flattening semantics
+(kronfluence/module/linear.py:30-61, conv2d.py:15-135) as pure functions:
+
+  * linear: leading dims (batch, tokens, ...) collapse into rows; attention
+    masks zero padded-token activations; bias handled by a ones column.
+  * conv2d: im2col via `jax.lax.conv_general_dilated_patches` (NHWC, the
+    TPU-native layout); spatial output positions become the "token" axis;
+    channel groups are mean-reduced as in the reference.
+
+Additionally every rule takes a per-sample `valid` mask (shape (batch,)).
+Padded samples — which the TPU build uses to keep shapes static instead of
+the reference's dynamic last batch — are exactly zeroed out of every
+statistic, and counts use the true number of valid rows.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kronfluence_tpu.capture.specs import LayerSpec
+
+
+def _row_mask(
+    a_shape: Tuple[int, ...],
+    attention_mask: Optional[jax.Array],
+    valid: Optional[jax.Array],
+    dtype,
+    use_attention: bool,
+) -> Optional[jax.Array]:
+    """Builds a combined (rows, 1) mask over the flattened leading dims."""
+    rows = 1
+    for s in a_shape[:-1]:
+        rows *= s
+    mask = None
+    if use_attention and attention_mask is not None and attention_mask.size == rows:
+        mask = attention_mask.reshape(rows, 1).astype(dtype)
+    if valid is not None:
+        batch = a_shape[0]
+        v = valid.astype(dtype).reshape((batch,) + (1,) * (len(a_shape) - 1))
+        v = jnp.broadcast_to(v, a_shape[:-1] + (1,)).reshape(rows, 1)
+        mask = v if mask is None else mask * v
+    return mask
+
+
+def _count_from(mask: Optional[jax.Array], rows: int) -> jax.Array:
+    if mask is None:
+        return jnp.asarray(rows, dtype=jnp.int32)
+    return jnp.sum(mask.astype(jnp.int32))
+
+
+def extract_conv2d_patches(x: jax.Array, spec: LayerSpec) -> jax.Array:
+    """im2col for NHWC inputs -> (batch, positions, C_in/groups * Kh * Kw).
+
+    Channel groups are mean-reduced first (reference: conv2d.py:55-57).
+    """
+    b, h, w, c = x.shape
+    groups = spec.feature_group_count
+    if groups > 1:
+        x = x.reshape(b, h, w, groups, c // groups).mean(axis=3)
+    patches = jax.lax.conv_general_dilated_patches(
+        x,
+        filter_shape=spec.kernel_size,
+        window_strides=spec.strides,
+        padding=spec.padding,
+        rhs_dilation=spec.kernel_dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return patches.reshape(b, -1, patches.shape[-1])
+
+
+def _to_tokens(spec: LayerSpec, a: jax.Array) -> jax.Array:
+    """Canonicalizes an activation to (batch, tokens, features)."""
+    if spec.kind == "conv2d":
+        return extract_conv2d_patches(a, spec)
+    return a.reshape(a.shape[0], -1, a.shape[-1])
+
+
+def _grad_to_tokens(spec: LayerSpec, dy: jax.Array) -> jax.Array:
+    return dy.reshape(dy.shape[0], -1, dy.shape[-1])
+
+
+def _append_bias_column(a2: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+    ones = jnp.ones((a2.shape[0], 1), dtype=a2.dtype)
+    if mask is not None:
+        ones = ones * mask
+    return jnp.concatenate([a2, ones], axis=-1)
+
+
+def flatten_activation(
+    spec: LayerSpec,
+    a: jax.Array,
+    attention_mask: Optional[jax.Array],
+    valid: Optional[jax.Array],
+    dtype,
+) -> Tuple[jax.Array, jax.Array]:
+    """Flattens a raw activation for covariance: (rows, in_dim[+1]), count.
+
+    Linear semantics follow reference linear.py:30-47 (attention mask zeroes
+    padded activations and the bias ones-column; count = mask sum). Conv
+    semantics follow conv2d.py:107-133 (no attention mask; count = rows).
+    """
+    use_attention = spec.kind == "linear"
+    tokens = _to_tokens(spec, a.astype(dtype))
+    rows = tokens.shape[0] * tokens.shape[1]
+    a2 = tokens.reshape(rows, tokens.shape[-1])
+    mask = _row_mask(tokens.shape, attention_mask, valid, dtype, use_attention)
+    if mask is not None:
+        a2 = a2 * mask
+    if spec.has_bias:
+        a2 = _append_bias_column(a2, mask)
+    return a2, _count_from(mask, rows)
+
+
+def flatten_gradient(
+    spec: LayerSpec,
+    dy: jax.Array,
+    attention_mask: Optional[jax.Array],
+    valid: Optional[jax.Array],
+    dtype,
+) -> Tuple[jax.Array, jax.Array]:
+    """Flattens an output gradient: (rows, out_dim), count.
+
+    The reference does not mask gradients by the attention mask (padded-token
+    gradients are zero when the loss ignores them, linear.py:49-55), but we
+    must zero rows of padding *samples* introduced by static-shape batching.
+    """
+    tokens = _grad_to_tokens(spec, dy.astype(dtype))
+    rows = tokens.shape[0] * tokens.shape[1]
+    g2 = tokens.reshape(rows, tokens.shape[-1])
+    valid_mask = _row_mask(tokens.shape, None, valid, dtype, use_attention=False)
+    if valid_mask is not None:
+        g2 = g2 * valid_mask
+    count_mask = _row_mask(
+        tokens.shape, attention_mask, valid, dtype, use_attention=spec.kind == "linear"
+    )
+    return g2, _count_from(count_mask, rows)
+
+
+def activation_tokens_with_bias(
+    spec: LayerSpec, a: jax.Array, dtype
+) -> jax.Array:
+    """(batch, tokens, in_dim[+1]) activation for per-sample-gradient math.
+
+    Mirrors reference `_flatten_input_activation` (linear.py:57-63): no
+    attention masking here — padded-token gradients are zero, so masked
+    activations are unnecessary for gradient reconstruction.
+    """
+    tokens = _to_tokens(spec, a.astype(dtype))
+    if spec.has_bias:
+        ones = jnp.ones(tokens.shape[:-1] + (1,), dtype=tokens.dtype)
+        tokens = jnp.concatenate([tokens, ones], axis=-1)
+    return tokens
+
+
+def gradient_tokens(
+    spec: LayerSpec, dy: jax.Array, valid: Optional[jax.Array], dtype
+) -> jax.Array:
+    """(batch, tokens, out_dim) output gradient, padding samples zeroed."""
+    tokens = _grad_to_tokens(spec, dy.astype(dtype))
+    if valid is not None:
+        tokens = tokens * valid.astype(dtype)[:, None, None]
+    return tokens

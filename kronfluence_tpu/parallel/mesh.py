@@ -1,0 +1,78 @@
+"""Device-mesh and sharding utilities.
+
+Replaces the reference's entire DDP/FSDP/NCCL layer (utils/state.py,
+utils/model.py, all `dist.*` calls): one `jax.sharding.Mesh` with a `data`
+axis (batch parallelism — DDP analogue) and a `model` axis (parameter/factor
+sharding — FSDP/TP analogue). Stage math is written in global view; factor
+reductions across data shards are inserted by XLA from the sharding
+annotations, riding ICI instead of post-hoc NCCL reduces
+(reference: module/tracker/factor.py:132-142).
+"""
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Builds a ('data', 'model') mesh over the available devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if data is None:
+        data = len(devices) // model
+    if data * model != len(devices):
+        raise ValueError(
+            f"Mesh {data}x{model} does not match {len(devices)} devices."
+        )
+    mesh_devices = np.asarray(devices).reshape(data, model)
+    return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_axis_size(mesh: Optional[Mesh]) -> int:
+    if mesh is None:
+        return 1
+    return mesh.shape[DATA_AXIS]
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shards the leading (batch) axis of every leaf over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Optional[Mesh], batch: Any) -> Any:
+    """Device-puts a host batch, sharding leading (batch) axes over the data
+    axis; leaves that cannot be split evenly (scalars, metadata) replicate."""
+    if mesh is None:
+        return jax.device_put(batch)
+    n = mesh.shape[DATA_AXIS]
+    data_sharding = batch_sharding(mesh)
+    replica = replicated(mesh)
+
+    def put(x):
+        arr = np.asarray(x)
+        if arr.ndim >= 1 and arr.shape[0] % n == 0:
+            return jax.device_put(arr, data_sharding)
+        return jax.device_put(arr, replica)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def factor_sharding(mesh: Mesh, shape: Sequence[int]) -> NamedSharding:
+    """Sharding for a factor matrix: shard the leading dim over `model` when
+    it divides evenly (large-layer FSDP analogue), else replicate."""
+    model = mesh.shape[MODEL_AXIS]
+    if len(shape) >= 2 and model > 1 and shape[0] % model == 0:
+        return NamedSharding(mesh, P(MODEL_AXIS))
+    return replicated(mesh)

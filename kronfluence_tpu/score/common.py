@@ -1,0 +1,62 @@
+"""Shared scoring machinery: precondition-state preparation and per-sample
+gradient assembly from captures."""
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from kronfluence_tpu.arguments import FactorArguments, ScoreArguments
+from kronfluence_tpu.capture.engine import LayerCapture
+from kronfluence_tpu.factor.config import FactorConfig, PreconditionState, get_factor_config
+from kronfluence_tpu.ops.covariance import per_sample_gradient as psg_op
+from kronfluence_tpu.ops.flatten import activation_tokens_with_bias, gradient_tokens
+from kronfluence_tpu.task import Task
+
+
+def prepare_precondition_states(
+    factors: Dict[str, Dict[str, Any]],
+    strategy: str,
+    score_args: ScoreArguments,
+    module_names: Sequence[str],
+) -> Dict[str, PreconditionState]:
+    """One-time damping/inversion per module (reference: pairwise.py:181-195,
+    factor/config.py prepare methods). Host fp64, device-resident outputs."""
+    config = get_factor_config(strategy)
+    states = {}
+    for name in module_names:
+        module_factors = {
+            factor_name: tensors[name]
+            for factor_name, tensors in factors.items()
+            if name in tensors
+        }
+        states[name] = config.prepare(
+            module_factors, score_args.damping_factor, score_args.precondition_dtype
+        )
+    return states
+
+
+def module_per_sample_gradients(
+    cap: LayerCapture,
+    valid: Optional[jax.Array],
+    dtype,
+    task: Optional[Task] = None,
+    module_name: Optional[str] = None,
+) -> jax.Array:
+    """(batch, out_dim, in_dim[+1]) per-sample gradients, summed over uses."""
+    total = None
+    for a, dy in zip(cap.activations, cap.output_gradients):
+        a_tok = activation_tokens_with_bias(cap.spec, a, dtype)
+        g_tok = gradient_tokens(cap.spec, dy, valid, dtype)
+        contrib = psg_op(a_tok, g_tok, dtype)
+        total = contrib if total is None else total + contrib
+    if task is not None and task.enable_post_process_per_sample_gradient:
+        total = task.post_process_per_sample_gradient(module_name, total)
+    return total
+
+
+def measurement_forward(model, task, params, batch):
+    def forward():
+        return task.compute_measurement(batch, model.bind(params))
+
+    return forward

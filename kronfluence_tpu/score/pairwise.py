@@ -1,0 +1,308 @@
+"""Pairwise influence-score stage driver.
+
+Redesign of reference kronfluence/score/pairwise.py:133-393 +
+score/dot_product.py:39-257. Loop nest preserved (train loader re-iterated
+once per accumulated query block) but everything inside a block is one jitted
+program: query-gradient capture -> precondition -> optional low-rank SVD runs
+as batched MXU math, and the train pass contracts (activation, output-grad)
+token streams directly against the preconditioned query block — train
+per-sample gradients are never materialized (reference:
+module/tracker/pairwise_score.py:74-103).
+
+Score assembly happens on the host into a (num_queries, num_train) numpy
+array; query/train padding rows introduced by static-shape batching are
+trimmed here (the analogue of reference `truncate`/gather-trim).
+"""
+
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kronfluence_tpu.arguments import FactorArguments, ScoreArguments
+from kronfluence_tpu.capture.engine import capture
+from kronfluence_tpu.factor.config import get_factor_config
+from kronfluence_tpu.factor.covariance import discover_stage_specs, train_loss_forward
+from kronfluence_tpu.ops.flatten import activation_tokens_with_bias, gradient_tokens
+from kronfluence_tpu.ops.scores import pairwise_score
+from kronfluence_tpu.ops.svd import lowrank_factors_full, lowrank_factors_randomized
+from kronfluence_tpu.parallel.mesh import shard_batch
+from kronfluence_tpu.prepare import PreparedModel
+from kronfluence_tpu.score.common import (
+    measurement_forward,
+    module_per_sample_gradients,
+    prepare_precondition_states,
+)
+from kronfluence_tpu.task import Task
+from kronfluence_tpu.utils.constants import ALL_MODULE_NAME
+from kronfluence_tpu.utils.dtypes import resolve_dtype
+
+
+def _compute_query_block(
+    model: PreparedModel,
+    task: Task,
+    score_args: ScoreArguments,
+    strategy_config,
+    precondition_states,
+    tracked_names,
+    use_measurement: bool = True,
+):
+    """Builds the jitted query-gradient step: batch -> per-module
+    preconditioned gradients (dense (q,o,i) or low-rank (L,R))."""
+    psg_dtype = resolve_dtype(score_args.per_sample_gradient_dtype)
+    precond_dtype = resolve_dtype(score_args.precondition_dtype)
+    svd_dtype = resolve_dtype(score_args.query_gradient_svd_dtype)
+    score_dtype = resolve_dtype(score_args.score_dtype)
+    rank = score_args.query_gradient_low_rank
+
+    @jax.jit
+    def query_step(params, batch, valid, rng):
+        forward = measurement_forward(model, task, params, batch)
+        _, captures = capture(forward, tracked_names)
+        out = {}
+        for name, cap in captures.items():
+            psg = module_per_sample_gradients(cap, valid, psg_dtype, task, name)
+            psg = strategy_config.precondition(
+                psg.astype(precond_dtype), precondition_states[name]
+            )
+            if rank is not None and min(psg.shape[1:]) > rank:
+                psg = psg.astype(svd_dtype)
+                if score_args.use_full_svd:
+                    out[name] = lowrank_factors_full(psg, rank, score_dtype)
+                else:
+                    out[name] = lowrank_factors_randomized(psg, rank, score_dtype, rng)
+            else:
+                out[name] = psg.astype(score_dtype)
+        return out
+
+    return query_step
+
+
+def _concat_blocks(blocks: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Concatenates per-module query gradients across accumulation steps
+    (reference: tracker/precondition.py:216-240)."""
+    out = {}
+    for name in blocks[0]:
+        vals = [b[name] for b in blocks]
+        if isinstance(vals[0], tuple):
+            out[name] = (
+                jnp.concatenate([v[0] for v in vals], axis=0),
+                jnp.concatenate([v[1] for v in vals], axis=0),
+            )
+        else:
+            out[name] = jnp.concatenate(vals, axis=0)
+    return out
+
+
+def compute_pairwise_scores_with_loaders(
+    model: PreparedModel,
+    params: Any,
+    task: Task,
+    query_loader,
+    train_loader,
+    factors: Dict[str, Dict[str, np.ndarray]],
+    factor_args: FactorArguments,
+    score_args: Optional[ScoreArguments] = None,
+    tracked_names: Optional[Sequence[str]] = None,
+    mesh=None,
+    profiler=None,
+) -> Dict[str, np.ndarray]:
+    """Computes pairwise scores; returns {module_name or 'all_modules': (Q, T[, t])}."""
+    score_args = score_args or ScoreArguments()
+    tracked_names = tracked_names if tracked_names is not None else model.tracked_names
+    strategy_config = get_factor_config(factor_args.strategy)
+    psg_dtype = resolve_dtype(score_args.per_sample_gradient_dtype)
+    score_dtype = resolve_dtype(score_args.score_dtype)
+    per_token = score_args.compute_per_token_scores
+    per_module = score_args.compute_per_module_scores
+
+    # Discover module set from a probe batch to prepare precondition states.
+    probe_batch, _ = next(iter(query_loader))
+    specs = discover_stage_specs(model, task, params, probe_batch, tracked_names)
+    module_names = sorted(specs)
+    precondition_states = prepare_precondition_states(
+        factors, factor_args.strategy, score_args, module_names
+    )
+
+    if score_args.aggregate_query_gradients:
+        query_blocks_iter = _aggregated_query_blocks(
+            model, task, params, query_loader, score_args, strategy_config,
+            precondition_states, tracked_names, mesh,
+        )
+    else:
+        query_step = _compute_query_block(
+            model, task, score_args, strategy_config, precondition_states, tracked_names
+        )
+        query_blocks_iter = _per_sample_query_blocks(
+            query_step, params, query_loader, score_args, mesh
+        )
+
+    post_process = task.enable_post_process_per_sample_gradient
+
+    @jax.jit
+    def train_step(params, batch, valid, query_block):
+        forward = train_loss_forward(
+            model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)
+        )
+        _, captures = capture(forward, tracked_names)
+        per_module_scores = {}
+        for name, cap in captures.items():
+            pg = query_block[name]
+            if post_process and not isinstance(pg, tuple):
+                train_psg = module_per_sample_gradients(cap, valid, psg_dtype, task, name)
+                score = jnp.einsum(
+                    "qoi,boi->qb", pg.astype(psg_dtype), train_psg
+                ).astype(score_dtype)
+            else:
+                score = None
+                for a, dy in zip(cap.activations, cap.output_gradients):
+                    a_tok = activation_tokens_with_bias(cap.spec, a, psg_dtype)
+                    g_tok = gradient_tokens(cap.spec, dy, valid, psg_dtype)
+                    contrib = pairwise_score(pg, a_tok, g_tok, per_token, score_dtype)
+                    score = contrib if score is None else score + contrib
+            per_module_scores[name] = score
+        if per_module:
+            return per_module_scores
+        total = None
+        for score in per_module_scores.values():
+            total = score if total is None else total + score
+        return {ALL_MODULE_NAME: total}
+
+    if score_args.aggregate_train_gradients:
+        train_pass = partial(
+            _aggregated_train_pass,
+            model, task, params, train_loader, score_args, tracked_names, mesh,
+            per_module,
+        )
+    else:
+        def train_pass(query_block):
+            module_chunks: Dict[str, List[np.ndarray]] = {}
+            for batch, valid in train_loader:
+                batch = shard_batch(mesh, batch)
+                valid_dev = shard_batch(mesh, valid)
+                scores = train_step(params, batch, valid_dev, query_block)
+                for key, val in scores.items():
+                    module_chunks.setdefault(key, []).append(np.asarray(val))
+            return {
+                key: np.concatenate(chunks, axis=1)[:, : train_loader.num_examples]
+                for key, chunks in module_chunks.items()
+            }
+
+    # Assemble scores on the host.
+    chunks_per_block = [train_pass(query_block) for query_block in query_blocks_iter]
+
+    result: Dict[str, np.ndarray] = {}
+    for key in chunks_per_block[0]:
+        full = np.concatenate([block[key] for block in chunks_per_block], axis=0)
+        if not score_args.aggregate_query_gradients:
+            full = full[: query_loader.num_examples]
+        result[key] = full
+    return result
+
+
+def _aggregated_train_pass(
+    model, task, params, train_loader, score_args, tracked_names, mesh,
+    per_module, query_block,
+):
+    """Aggregated-train variant: one summed train gradient, one contraction
+    per module (reference: score/dot_product.py:156-257)."""
+    psg_dtype = resolve_dtype(score_args.per_sample_gradient_dtype)
+    score_dtype = resolve_dtype(score_args.score_dtype)
+
+    @jax.jit
+    def sum_step(params, batch, valid):
+        forward = train_loss_forward(
+            model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)
+        )
+        _, captures = capture(forward, tracked_names)
+        return {
+            name: jnp.sum(
+                module_per_sample_gradients(cap, valid, psg_dtype, task, name), axis=0
+            )
+            for name, cap in captures.items()
+        }
+
+    total: Dict[str, jax.Array] = {}
+    for batch, valid in train_loader:
+        batch = shard_batch(mesh, batch)
+        valid_dev = shard_batch(mesh, valid)
+        contrib = sum_step(params, batch, valid_dev)
+        for name, val in contrib.items():
+            total[name] = val if name not in total else total[name] + val
+
+    @jax.jit
+    def contract(query_block, total):
+        per_module_scores = {}
+        for name, pg in query_block.items():
+            summed = total[name].astype(psg_dtype)
+            if isinstance(pg, tuple):
+                left, right = pg
+                score = jnp.einsum(
+                    "qor,qri,oi->q", left.astype(psg_dtype), right.astype(psg_dtype), summed
+                )[:, None]
+            else:
+                score = jnp.einsum("qoi,oi->q", pg.astype(psg_dtype), summed)[:, None]
+            per_module_scores[name] = score.astype(score_dtype)
+        if per_module:
+            return per_module_scores
+        out = None
+        for score in per_module_scores.values():
+            out = score if out is None else out + score
+        return {ALL_MODULE_NAME: out}
+
+    return {k: np.asarray(v) for k, v in contract(query_block, total).items()}
+
+
+def _per_sample_query_blocks(query_step, params, query_loader, score_args, mesh):
+    """Yields accumulated preconditioned query-gradient blocks."""
+    pending = []
+    accumulation = score_args.query_gradient_accumulation_steps
+    rng = jax.random.PRNGKey(0)
+    for idx, (batch, valid) in enumerate(query_loader):
+        batch = shard_batch(mesh, batch)
+        valid_dev = shard_batch(mesh, valid)
+        pending.append(query_step(params, batch, valid_dev, jax.random.fold_in(rng, idx)))
+        if len(pending) == accumulation:
+            yield _concat_blocks(pending)
+            pending = []
+    if pending:
+        yield _concat_blocks(pending)
+
+
+def _aggregated_query_blocks(
+    model, task, params, query_loader, score_args, strategy_config,
+    precondition_states, tracked_names, mesh,
+):
+    """Sums query gradients over the whole query set, preconditions once
+    (reference: tracker/gradient.py + precondition.py:242-255)."""
+    psg_dtype = resolve_dtype(score_args.per_sample_gradient_dtype)
+    precond_dtype = resolve_dtype(score_args.precondition_dtype)
+    score_dtype = resolve_dtype(score_args.score_dtype)
+
+    @jax.jit
+    def sum_step(params, batch, valid):
+        forward = measurement_forward(model, task, params, batch)
+        _, captures = capture(forward, tracked_names)
+        return {
+            name: jnp.sum(
+                module_per_sample_gradients(cap, valid, psg_dtype, task, name), axis=0
+            )
+            for name, cap in captures.items()
+        }
+
+    total: Dict[str, jax.Array] = {}
+    for batch, valid in query_loader:
+        batch = shard_batch(mesh, batch)
+        valid_dev = shard_batch(mesh, valid)
+        contrib = sum_step(params, batch, valid_dev)
+        for name, val in contrib.items():
+            total[name] = val if name not in total else total[name] + val
+    block = {}
+    for name, summed in total.items():
+        pg = strategy_config.precondition(
+            summed[None].astype(precond_dtype), precondition_states[name]
+        )
+        block[name] = pg.astype(score_dtype)
+    yield block

@@ -1,0 +1,105 @@
+"""Self-influence score stage driver.
+
+Redesign of reference kronfluence/score/self.py:135-443. One pass over the
+train loader; per batch each module's per-sample gradients are preconditioned
+and dotted with themselves (g^T H^-1 g). The measurement variant preconditions
+the measurement gradient and dots it with the train-loss gradient — both
+captures run inside a single jitted step (the reference needs two backward
+passes with mode switches per batch).
+"""
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kronfluence_tpu.arguments import FactorArguments, ScoreArguments
+from kronfluence_tpu.capture.engine import capture
+from kronfluence_tpu.factor.config import get_factor_config
+from kronfluence_tpu.factor.covariance import discover_stage_specs, train_loss_forward
+from kronfluence_tpu.parallel.mesh import shard_batch
+from kronfluence_tpu.prepare import PreparedModel
+from kronfluence_tpu.score.common import (
+    measurement_forward,
+    module_per_sample_gradients,
+    prepare_precondition_states,
+)
+from kronfluence_tpu.task import Task
+from kronfluence_tpu.utils.constants import ALL_MODULE_NAME
+from kronfluence_tpu.utils.dtypes import resolve_dtype
+
+
+def compute_self_scores_with_loaders(
+    model: PreparedModel,
+    params: Any,
+    task: Task,
+    train_loader,
+    factors: Dict[str, Dict[str, np.ndarray]],
+    factor_args: FactorArguments,
+    score_args: Optional[ScoreArguments] = None,
+    tracked_names: Optional[Sequence[str]] = None,
+    mesh=None,
+    profiler=None,
+) -> Dict[str, np.ndarray]:
+    """Computes self-influence scores; returns {module or 'all_modules': (N,)}."""
+    score_args = score_args or ScoreArguments()
+    tracked_names = tracked_names if tracked_names is not None else model.tracked_names
+    strategy_config = get_factor_config(factor_args.strategy)
+    psg_dtype = resolve_dtype(score_args.per_sample_gradient_dtype)
+    precond_dtype = resolve_dtype(score_args.precondition_dtype)
+    score_dtype = resolve_dtype(score_args.score_dtype)
+    per_module = score_args.compute_per_module_scores
+    use_measurement = score_args.use_measurement_for_self_influence
+
+    probe_batch, _ = next(iter(train_loader))
+    specs = discover_stage_specs(model, task, params, probe_batch, tracked_names)
+    precondition_states = prepare_precondition_states(
+        factors, factor_args.strategy, score_args, sorted(specs)
+    )
+
+    @jax.jit
+    def step(params, batch, valid):
+        loss_forward = train_loss_forward(
+            model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)
+        )
+        _, loss_caps = capture(loss_forward, tracked_names)
+        if use_measurement:
+            _, meas_caps = capture(
+                measurement_forward(model, task, params, batch), tracked_names
+            )
+        per_module_scores = {}
+        for name, cap in loss_caps.items():
+            loss_psg = module_per_sample_gradients(cap, valid, psg_dtype, task, name)
+            src = meas_caps[name] if use_measurement else cap
+            src_psg = (
+                module_per_sample_gradients(src, valid, psg_dtype, task, name)
+                if use_measurement
+                else loss_psg
+            )
+            preconditioned = strategy_config.precondition(
+                src_psg.astype(precond_dtype), precondition_states[name]
+            )
+            score = jnp.einsum(
+                "boi,boi->b", preconditioned.astype(psg_dtype), loss_psg
+            ).astype(score_dtype)
+            per_module_scores[name] = score
+        if per_module:
+            return per_module_scores
+        total = None
+        for score in per_module_scores.values():
+            total = score if total is None else total + score
+        return {ALL_MODULE_NAME: total}
+
+    chunks: Dict[str, List[np.ndarray]] = {}
+    for batch, valid in train_loader:
+        batch = shard_batch(mesh, batch)
+        valid_dev = shard_batch(mesh, valid)
+        scores = step(params, batch, valid_dev)
+        for key, val in scores.items():
+            chunks.setdefault(key, []).append(np.asarray(val))
+
+    return {
+        key: np.concatenate(vals, axis=0)[: train_loader.num_examples]
+        for key, vals in chunks.items()
+    }

@@ -1,0 +1,137 @@
+"""Dataset handling: batching, padding, and partitioning.
+
+The reference relies on torch DataLoaders with three custom distributed
+samplers (kronfluence/utils/dataset.py:104-199). XLA's static-shape model
+makes dynamic last batches expensive (each unique shape recompiles), so the
+TPU build instead *pads* every batch to a fixed global batch size and carries
+a per-sample `valid` mask; every downstream statistic masks padded samples
+exactly (see ops/flatten.py). This supersedes DistributedEvalSampler (no
+duplication — padded rows contribute zero) and DistributedSamplerWithStack
+(score columns are assembled from contiguous index ranges).
+
+Supported dataset forms: mapping of column arrays, sequence of example
+pytrees, torch Dataset, or HF datasets (anything with __len__/__getitem__).
+"""
+
+import dataclasses
+import math
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class DataLoaderKwargs:
+    """Accepted for API parity with the reference; most knobs are no-ops on TPU."""
+
+    num_workers: int = 0
+    collate_fn: Optional[Any] = None
+    pin_memory: bool = False
+    drop_last: bool = False
+    prefetch_factor: Optional[int] = None
+    persistent_workers: bool = False
+
+
+def _to_numpy(leaf: Any) -> Any:
+    if isinstance(leaf, np.ndarray):
+        return leaf
+    if hasattr(leaf, "detach") and hasattr(leaf, "numpy"):  # torch.Tensor
+        return leaf.detach().cpu().numpy()
+    if hasattr(leaf, "__array__"):
+        return np.asarray(leaf)
+    if isinstance(leaf, (int, float, bool, np.generic)):
+        return np.asarray(leaf)
+    return leaf
+
+
+def _is_column_store(dataset: Any) -> bool:
+    return isinstance(dataset, dict) and all(
+        hasattr(v, "__len__") for v in dataset.values()
+    )
+
+
+def dataset_length(dataset: Any) -> int:
+    if _is_column_store(dataset):
+        return len(next(iter(dataset.values())))
+    return len(dataset)
+
+
+def _get_rows(dataset: Any, indices: np.ndarray) -> Any:
+    """Materializes a batch of examples as a pytree of stacked numpy arrays."""
+    if _is_column_store(dataset):
+        return {k: _to_numpy(v)[indices] for k, v in dataset.items()}
+    rows = [dataset[int(i)] for i in indices]
+    return _collate(rows)
+
+
+def _collate(rows: List[Any]) -> Any:
+    first = rows[0]
+    if isinstance(first, dict):
+        return {k: _collate([r[k] for r in rows]) for k in first}
+    if isinstance(first, (tuple, list)):
+        return type(first)(_collate([r[i] for r in rows]) for i in range(len(first)))
+    return np.stack([np.asarray(_to_numpy(r)) for r in rows])
+
+
+def make_indices_partition(total_data_examples: int, partition_size: int, target_data_partitions: Optional[Sequence[int]] = None) -> List[Tuple[int, int]]:
+    """Splits [0, total) into `partition_size` contiguous (start, end) ranges.
+
+    Matches reference `make_indices_partition` (utils/dataset.py:38-63).
+    """
+    if partition_size > total_data_examples:
+        raise ValueError("Partition size cannot exceed the number of examples.")
+    bins = np.array_split(np.arange(total_data_examples), partition_size)
+    ranges = [(int(b[0]), int(b[-1]) + 1) for b in bins]
+    if target_data_partitions is not None:
+        ranges = [ranges[i] for i in target_data_partitions]
+    return ranges
+
+
+class BatchLoader:
+    """Yields fixed-shape (batch, valid_mask) pairs over an index range.
+
+    Every batch has exactly `batch_size` rows; the final batch is padded by
+    repeating the first row of the range with `valid=0`.
+    """
+
+    def __init__(
+        self,
+        dataset: Any,
+        batch_size: int,
+        indices: Optional[Sequence[int]] = None,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        if indices is None:
+            indices = np.arange(dataset_length(dataset))
+        self.indices = np.asarray(indices, dtype=np.int64)
+        if self.batch_size <= 0:
+            raise ValueError("batch_size must be positive.")
+
+    def __len__(self) -> int:
+        return math.ceil(len(self.indices) / self.batch_size)
+
+    @property
+    def num_examples(self) -> int:
+        return len(self.indices)
+
+    def __iter__(self) -> Iterator[Tuple[Any, np.ndarray]]:
+        n = len(self.indices)
+        for start in range(0, n, self.batch_size):
+            chunk = self.indices[start : start + self.batch_size]
+            valid = np.ones(self.batch_size, dtype=np.float32)
+            if len(chunk) < self.batch_size:
+                pad = self.batch_size - len(chunk)
+                valid[len(chunk) :] = 0.0
+                chunk = np.concatenate([chunk, np.full(pad, chunk[0], dtype=np.int64)])
+            batch = _get_rows(self.dataset, chunk)
+            yield batch, valid
+
+
+def dataset_metadata(dataset: Any, indices: Optional[Sequence[int]] = None) -> Dict[str, Any]:
+    """Dataset fingerprint persisted next to artifacts (reference: computer.py:160-191)."""
+    return {
+        "type": type(dataset).__name__,
+        "dataset_size": dataset_length(dataset),
+        "indices": list(map(int, indices)) if indices is not None else None,
+    }
