@@ -1,0 +1,243 @@
+"""Benchmark: GPT-2-small EKFAC influence pipeline on one TPU chip.
+
+Mirrors the reference's headline workload (examples/wikitext: GPT-2, seq 512,
+48 tracked modules = attn.c_attn/c_proj + mlp.c_fc/c_proj x 12 layers,
+measurement == train loss) on synthetic tokens, measures per-stage
+steady-state rates, and projects to the full reference workload
+(4656 train examples x 481 queries) for comparison against the published
+A100 fp32 numbers (BASELINE.md: total 2357 s; score 1888 s; lambda 275 s;
+cov 180 s; eigh 7.8 s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
+metric is pairwise-score throughput (pairs/sec/chip) and vs_baseline is the
+ratio to the A100 fp32 reference rate on the same (model, seq, modules) math.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Reference workload constants (examples/wikitext/README.md).
+REF_TRAIN = 4656
+REF_QUERY = 481
+REF_TOTAL_S = 2357.0
+REF_SCORE_S = 1888.0
+REF_LAMBDA_S = 275.0
+REF_COV_S = 180.0
+REF_EIGH_S = 7.8
+REF_PAIRS_PER_S = REF_QUERY * REF_TRAIN / REF_SCORE_S  # ~1186 pairs/s
+
+# Bench sizes (kept small; rates are steady-state and extrapolated).
+N_COV = 512
+N_LAMBDA = 256
+N_QUERY = 32
+N_TRAIN = 512
+SEQ = 512
+COV_BATCH = 16
+LAMBDA_BATCH = 8
+QUERY_BATCH = 32
+TRAIN_BATCH = 16
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from kronfluence_tpu.arguments import ScoreArguments
+    from kronfluence_tpu.factor.covariance import fit_covariance_matrices_with_loader
+    from kronfluence_tpu.factor.eigen import (
+        fit_lambda_matrices_with_loader,
+        perform_eigendecomposition,
+    )
+    from kronfluence_tpu.models.transformer import TransformerConfig, TransformerLM
+    from kronfluence_tpu.prepare import prepare_model
+    from kronfluence_tpu.score.pairwise import compute_pairwise_scores_with_loaders
+    from kronfluence_tpu.task import Task
+    from kronfluence_tpu.utils.common.factor_arguments import (
+        smart_low_precision_factor_arguments,
+    )
+    from kronfluence_tpu.utils.common.score_arguments import (
+        smart_low_precision_score_arguments,
+    )
+    from kronfluence_tpu.utils.dataset import BatchLoader
+
+    import optax
+
+    log(f"devices: {jax.devices()}")
+
+    config = TransformerConfig(
+        vocab_size=50257,
+        max_seq_len=SEQ,
+        num_layers=12,
+        num_heads=12,
+        d_model=768,
+        dtype=jnp.bfloat16,
+        param_dtype=jnp.bfloat16,
+    )
+    module = TransformerLM(config)
+
+    class WikitextStyleTask(Task):
+        def compute_train_loss(self, batch, model, sample=False, rng=None):
+            logits = model(batch["input_ids"], batch["attention_mask"])[:, :-1]
+            mask = batch["attention_mask"][:, 1:].astype(jnp.float32)
+            if sample:
+                labels = jax.random.categorical(
+                    rng, jax.lax.stop_gradient(logits).astype(jnp.float32)
+                )
+            else:
+                labels = batch["input_ids"][:, 1:]
+            losses = optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), labels
+            )
+            return jnp.sum(losses * mask)
+
+        def compute_measurement(self, batch, model):
+            return self.compute_train_loss(batch, model)
+
+        def get_influence_tracked_modules(self):
+            names = []
+            for i in range(config.num_layers):
+                names += [
+                    f"h_{i}/attn/c_attn",
+                    f"h_{i}/attn/c_proj",
+                    f"h_{i}/mlp/c_fc",
+                    f"h_{i}/mlp/c_proj",
+                ]
+            return names
+
+        def get_attention_mask(self, batch):
+            return batch["attention_mask"]
+
+    task = WikitextStyleTask()
+    model = prepare_model(module, task)
+    t0 = time.time()
+    ids0 = jnp.zeros((1, SEQ), jnp.int32)
+    params = module.init(jax.random.PRNGKey(0), ids0)["params"]
+    params = jax.device_put(params)
+    log(f"init params: {time.time() - t0:.1f}s")
+
+    rng = np.random.default_rng(0)
+
+    def make_data(n, seed):
+        r = np.random.default_rng(seed)
+        return {
+            "input_ids": r.integers(1, config.vocab_size, size=(n, SEQ)).astype(np.int32),
+            "attention_mask": np.ones((n, SEQ), dtype=np.int32),
+        }
+
+    factor_args = smart_low_precision_factor_arguments(strategy="ekfac")
+    factor_args.use_empirical_fisher = True
+    score_args = smart_low_precision_score_arguments()
+
+    class TimedLoader:
+        """Wraps a BatchLoader, recording the wall time after each batch is
+        *consumed* by the stage driver (dispatch is async; the next __next__
+        only runs once the driver moved on, so steady-state timestamps bound
+        the per-batch rate well after calling block_until_ready at the end)."""
+
+        def __init__(self, loader):
+            self.loader = loader
+            self.timestamps = []
+            self.num_examples = loader.num_examples
+
+        def __len__(self):
+            return len(self.loader)
+
+        def __iter__(self):
+            for item in self.loader:
+                self.timestamps.append(time.time())
+                yield item
+
+    # ---- Stage 1: covariance ----
+    cov_data = make_data(N_COV, 1)
+    t0 = time.time()
+    cov = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(cov_data, COV_BATCH), factor_args
+    )
+    cov_total = time.time() - t0
+    # Steady-state rate: re-run a short timed pass (compile cached).
+    t0 = time.time()
+    fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(make_data(N_COV // 2, 2), COV_BATCH), factor_args
+    )
+    cov_rate = (N_COV // 2) / (time.time() - t0)
+    log(f"covariance: first={cov_total:.1f}s steady={cov_rate:.1f} ex/s")
+
+    # ---- Stage 2: eigendecomposition (host fp64, actual dims) ----
+    t0 = time.time()
+    eigen = perform_eigendecomposition(cov, factor_args)
+    eigh_s = time.time() - t0
+    log(f"eigendecomposition: {eigh_s:.1f}s")
+
+    # ---- Stage 3: lambda ----
+    lam_data = make_data(N_LAMBDA, 3)
+    t0 = time.time()
+    lam = fit_lambda_matrices_with_loader(
+        model, params, task, BatchLoader(lam_data, LAMBDA_BATCH), factor_args,
+        eigen_factors=eigen,
+    )
+    lam_total = time.time() - t0
+    t0 = time.time()
+    fit_lambda_matrices_with_loader(
+        model, params, task, BatchLoader(make_data(N_LAMBDA // 2, 4), LAMBDA_BATCH),
+        factor_args, eigen_factors=eigen,
+    )
+    lam_rate = (N_LAMBDA // 2) / (time.time() - t0)
+    log(f"lambda: first={lam_total:.1f}s steady={lam_rate:.1f} ex/s")
+
+    factors = {**cov, **eigen, **lam}
+
+    # ---- Stage 4: pairwise scores ----
+    query_data = make_data(N_QUERY, 5)
+    train_data = make_data(N_TRAIN, 6)
+    t0 = time.time()
+    compute_pairwise_scores_with_loaders(
+        model, params, task,
+        BatchLoader(query_data, QUERY_BATCH), BatchLoader(train_data, TRAIN_BATCH),
+        factors, factor_args, score_args,
+    )
+    score_total = time.time() - t0
+    t0 = time.time()
+    compute_pairwise_scores_with_loaders(
+        model, params, task,
+        BatchLoader(query_data, QUERY_BATCH),
+        BatchLoader(make_data(N_TRAIN // 2, 7), TRAIN_BATCH),
+        factors, factor_args, score_args,
+    )
+    pairs_rate = (N_QUERY * N_TRAIN // 2) / (time.time() - t0)
+    log(f"pairwise: first={score_total:.1f}s steady={pairs_rate:.0f} pairs/s")
+
+    # ---- Projection to the full reference workload ----
+    proj_total = (
+        REF_TRAIN / cov_rate
+        + eigh_s
+        + REF_TRAIN / lam_rate
+        + REF_QUERY * REF_TRAIN / pairs_rate
+    )
+    log(
+        f"projected GPT-2/WikiText e2e: {proj_total:.0f}s "
+        f"(ref fp32 {REF_TOTAL_S:.0f}s -> {REF_TOTAL_S / proj_total:.2f}x; "
+        f"ref bf16 786s -> {786 / proj_total:.2f}x)"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "gpt2_wikitext_ekfac_pairwise_throughput",
+                "value": round(pairs_rate, 1),
+                "unit": "pairs/sec/chip",
+                "vs_baseline": round(pairs_rate / REF_PAIRS_PER_S, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

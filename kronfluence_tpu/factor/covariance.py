@@ -116,6 +116,10 @@ def fit_covariance_matrices_with_loader(
     out_shardings = (
         jax.tree_util.tree_map(lambda _: replicated(mesh), state) if mesh is not None else None
     )
+    if mesh is not None:
+        # Donated input must already live replicated on the mesh to alias the
+        # replicated output buffers.
+        state = jax.device_put(state, replicated(mesh))
 
     @partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)
     def step(state, params, batch, valid, rng):

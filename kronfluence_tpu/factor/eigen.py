@@ -168,6 +168,8 @@ def fit_lambda_matrices_with_loader(
     out_shardings = (
         jax.tree_util.tree_map(lambda _: replicated(mesh), state) if mesh is not None else None
     )
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
 
     def _lambda_contribution(spec, name, activations, output_gradients, valid, eigvecs):
         """Σ_b (projected per-sample grad)^2 for one module, one batch."""

@@ -1,0 +1,161 @@
+"""Transformer LM tests: capture through attention, masks, per-token scores,
+tracked-module filtering."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kronfluence_tpu.arguments import FactorArguments, ScoreArguments
+from kronfluence_tpu.capture.engine import capture
+from kronfluence_tpu.factor.covariance import (
+    fit_covariance_matrices_with_loader,
+    train_loss_forward,
+)
+from kronfluence_tpu.factor.eigen import (
+    fit_lambda_matrices_with_loader,
+    perform_eigendecomposition,
+)
+from kronfluence_tpu.score.pairwise import compute_pairwise_scores_with_loaders
+from kronfluence_tpu.utils.constants import (
+    ALL_MODULE_NAME,
+    ACTIVATION_COVARIANCE_MATRIX_NAME,
+    NUM_ACTIVATION_COVARIANCE_PROCESSED,
+)
+from kronfluence_tpu.utils.dataset import BatchLoader
+
+from tests.testable_tasks.language_modeling import make_lm, make_lm_data
+
+FP64_FACTOR = dict(
+    use_empirical_fisher=True,
+    activation_covariance_dtype="float64",
+    gradient_covariance_dtype="float64",
+    per_sample_gradient_dtype="float64",
+    lambda_dtype="float64",
+)
+FP64_SCORE = dict(
+    score_dtype="float64",
+    per_sample_gradient_dtype="float64",
+    precondition_dtype="float64",
+)
+
+
+def test_transformer_capture_matches_oracle():
+    model, params, task, config = make_lm()
+    data = make_lm_data(4, seq_len=config.max_seq_len, vocab=config.vocab_size)
+    batch = {k: jnp.asarray(v) for k, v in data.items()}
+
+    def run(params, batch):
+        forward = train_loss_forward(
+            model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)
+        )
+        _, captures = capture(forward, model.tracked_names)
+        from kronfluence_tpu.score.common import module_per_sample_gradients
+
+        return {
+            name: module_per_sample_gradients(cap, None, jnp.float64)
+            for name, cap in captures.items()
+        }
+
+    psg = jax.jit(run)(params, batch)
+    assert len(psg) == config.num_layers * 4 + 1  # qkv/proj/fc/proj per block + lm_head
+
+    def single(params, ids, mask):
+        one = {"input_ids": ids[None], "attention_mask": mask[None]}
+        return task.compute_train_loss(one, model.bind(params))
+
+    oracle = jax.vmap(jax.grad(single), in_axes=(None, 0, 0))(
+        params, batch["input_ids"], batch["attention_mask"]
+    )
+
+    def lookup(tree, path):
+        node = tree
+        for part in path.split("/"):
+            node = node[part]
+        return node
+
+    for name in ["h_0/attn/c_attn", "h_1/mlp/c_fc", "lm_head"]:
+        node = lookup(oracle, name)
+        expected = np.asarray(node["kernel"]).transpose(0, 2, 1)
+        if "bias" in node:
+            expected = np.concatenate(
+                [expected, np.asarray(node["bias"])[:, :, None]], axis=-1
+            )
+        np.testing.assert_allclose(
+            np.asarray(psg[name]), expected, rtol=1e-7, atol=1e-9, err_msg=name
+        )
+
+
+def test_attention_mask_token_counts():
+    model, params, task, config = make_lm()
+    data = make_lm_data(6, seq_len=config.max_seq_len, vocab=config.vocab_size)
+    args = FactorArguments(strategy="ekfac", **FP64_FACTOR)
+    factors = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(data, 3), args
+    )
+    total_tokens = int(data["attention_mask"].sum())
+    count = int(
+        factors[NUM_ACTIVATION_COVARIANCE_PROCESSED]["h_0/attn/c_attn"][0]
+    )
+    assert count == total_tokens
+
+
+def test_mlp_only_tracked_modules():
+    model, params, task, config = make_lm(mlp_only=True)
+    data = make_lm_data(4, seq_len=config.max_seq_len, vocab=config.vocab_size)
+    args = FactorArguments(strategy="ekfac", **FP64_FACTOR)
+    factors = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(data, 2), args
+    )
+    names = set(factors[ACTIVATION_COVARIANCE_MATRIX_NAME])
+    assert names == set(task.get_influence_tracked_modules())
+
+
+@pytest.fixture(scope="module")
+def lm_setup():
+    model, params, task, config = make_lm(mlp_only=True)
+    train = make_lm_data(8, seq_len=config.max_seq_len, vocab=config.vocab_size, seed=0)
+    query = make_lm_data(3, seq_len=config.max_seq_len, vocab=config.vocab_size, seed=1)
+    args = FactorArguments(strategy="ekfac", **FP64_FACTOR)
+    cov = fit_covariance_matrices_with_loader(model, params, task, BatchLoader(train, 4), args)
+    eigen = perform_eigendecomposition(cov, args)
+    lam = fit_lambda_matrices_with_loader(
+        model, params, task, BatchLoader(train, 4), args, eigen_factors=eigen
+    )
+    factors = {**cov, **eigen, **lam}
+    return model, params, task, config, train, query, factors, args
+
+
+def test_per_token_scores_sum_to_sequence_scores(lm_setup):
+    model, params, task, config, train, query, factors, fargs = lm_setup
+    seq = compute_pairwise_scores_with_loaders(
+        model, params, task, BatchLoader(query, 3), BatchLoader(train, 4),
+        factors, fargs, ScoreArguments(damping_factor=1e-8, **FP64_SCORE),
+    )
+    per_token = compute_pairwise_scores_with_loaders(
+        model, params, task, BatchLoader(query, 3), BatchLoader(train, 4),
+        factors, fargs,
+        ScoreArguments(damping_factor=1e-8, compute_per_token_scores=True, **FP64_SCORE),
+    )
+    assert per_token[ALL_MODULE_NAME].ndim == 3
+    np.testing.assert_allclose(
+        per_token[ALL_MODULE_NAME].sum(axis=-1),
+        seq[ALL_MODULE_NAME],
+        rtol=1e-7,
+        atol=1e-9,
+    )
+
+
+def test_sampled_fisher_runs(lm_setup):
+    """True-Fisher (sampled labels) path is deterministic given the seed."""
+    model, params, task, config, train, _, _, _ = lm_setup
+    args = FactorArguments(strategy="ekfac", seed=7, use_empirical_fisher=False,
+                           activation_covariance_dtype="float64",
+                           gradient_covariance_dtype="float64")
+    f1 = fit_covariance_matrices_with_loader(model, params, task, BatchLoader(train, 4), args)
+    f2 = fit_covariance_matrices_with_loader(model, params, task, BatchLoader(train, 4), args)
+    name = sorted(f1[ACTIVATION_COVARIANCE_MATRIX_NAME])[0]
+    np.testing.assert_allclose(
+        f1[ACTIVATION_COVARIANCE_MATRIX_NAME][name],
+        f2[ACTIVATION_COVARIANCE_MATRIX_NAME][name],
+    )
