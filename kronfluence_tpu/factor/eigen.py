@@ -50,13 +50,34 @@ from kronfluence_tpu.utils.dtypes import accumulation_dtype, canonical_dtype_nam
 from kronfluence_tpu.utils.exceptions import FactorsNotFoundError
 
 
-def _eigh(matrix: np.ndarray, dtype_name: str):
+@partial(jax.jit, static_argnums=())
+def _device_eigh_batched(matrices: jax.Array):
+    return jnp.linalg.eigh(matrices)
+
+
+def _eigh_grouped(matrices: Dict[str, np.ndarray], dtype_name: str):
+    """eigh for a {key: (d, d)} dict, batching same-dimension matrices.
+
+    float32 runs on-device (TPU QDWH-eig) with all same-shape factors stacked
+    into one batched call; float64 runs on the host (LAPACK) to preserve the
+    reference's numerics (TPUs have no fp64 path)."""
+    results = {}
     if dtype_name == "float32":
-        # On-device path (TPU eigh in fp32).
-        evals, evecs = jnp.linalg.eigh(jnp.asarray(matrix, dtype=jnp.float32))
-        return np.asarray(evals), np.asarray(evecs)
-    evals, evecs = np.linalg.eigh(np.asarray(matrix, dtype=np.dtype(dtype_name)))
-    return evals, evecs
+        groups: Dict[int, list] = {}
+        for key, mat in matrices.items():
+            groups.setdefault(mat.shape[0], []).append(key)
+        for dim, keys in groups.items():
+            stacked = jnp.asarray(
+                np.stack([matrices[k] for k in keys]), dtype=jnp.float32
+            )
+            evals, evecs = _device_eigh_batched(stacked)
+            evals, evecs = np.asarray(evals), np.asarray(evecs)
+            for i, key in enumerate(keys):
+                results[key] = (evals[i], evecs[i])
+        return results
+    for key, mat in matrices.items():
+        results[key] = np.linalg.eigh(np.asarray(mat, dtype=np.dtype(dtype_name)))
+    return results
 
 
 def perform_eigendecomposition(
@@ -76,32 +97,34 @@ def perform_eigendecomposition(
             GRADIENT_EIGENVALUES_NAME,
         )
     }
-    for module_name in covariance_factors[ACTIVATION_COVARIANCE_MATRIX_NAME]:
-        for cov_name, count_name, evec_name, eval_name in (
-            (
-                ACTIVATION_COVARIANCE_MATRIX_NAME,
-                NUM_ACTIVATION_COVARIANCE_PROCESSED,
-                ACTIVATION_EIGENVECTORS_NAME,
-                ACTIVATION_EIGENVALUES_NAME,
-            ),
-            (
-                GRADIENT_COVARIANCE_MATRIX_NAME,
-                NUM_GRADIENT_COVARIANCE_PROCESSED,
-                GRADIENT_EIGENVECTORS_NAME,
-                GRADIENT_EIGENVALUES_NAME,
-            ),
-        ):
-            original = covariance_factors[cov_name][module_name]
-            original_dtype = original.dtype
+    for cov_name, count_name, evec_name, eval_name in (
+        (
+            ACTIVATION_COVARIANCE_MATRIX_NAME,
+            NUM_ACTIVATION_COVARIANCE_PROCESSED,
+            ACTIVATION_EIGENVECTORS_NAME,
+            ACTIVATION_EIGENVALUES_NAME,
+        ),
+        (
+            GRADIENT_COVARIANCE_MATRIX_NAME,
+            NUM_GRADIENT_COVARIANCE_PROCESSED,
+            GRADIENT_EIGENVECTORS_NAME,
+            GRADIENT_EIGENVALUES_NAME,
+        ),
+    ):
+        normalized = {}
+        original_dtypes = {}
+        for module_name, original in covariance_factors[cov_name].items():
+            original_dtypes[module_name] = original.dtype
             count = float(np.asarray(covariance_factors[count_name][module_name]).item())
             matrix = np.asarray(original, dtype=np.float64) / count
-            matrix = 0.5 * (matrix + matrix.T)
-            evals, evecs = _eigh(matrix, dtype_name)
+            normalized[module_name] = 0.5 * (matrix + matrix.T)
+        for module_name, (evals, evecs) in _eigh_grouped(normalized, dtype_name).items():
+            dtype = original_dtypes[module_name]
             eigen_factors[eval_name][module_name] = np.ascontiguousarray(
-                evals.astype(original_dtype)
+                evals.astype(dtype)
             )
             eigen_factors[evec_name][module_name] = np.ascontiguousarray(
-                evecs.astype(original_dtype)
+                evecs.astype(dtype)
             )
     return eigen_factors
 

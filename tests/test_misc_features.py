@@ -1,0 +1,294 @@
+"""Coverage for remaining capability-parity features: raw functional models,
+per-sample-gradient post-processing, BatchNorm models, encoder-decoder dict
+attention masks, Analyzer utilities, and presets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import kronfluence_tpu.nn as knn
+from kronfluence_tpu.arguments import FactorArguments, ScoreArguments
+from kronfluence_tpu.capture.engine import capture
+from kronfluence_tpu.factor.covariance import (
+    fit_covariance_matrices_with_loader,
+    train_loss_forward,
+)
+from kronfluence_tpu.factor.eigen import (
+    fit_lambda_matrices_with_loader,
+    perform_eigendecomposition,
+)
+from kronfluence_tpu.prepare import prepare_model
+from kronfluence_tpu.score.pairwise import compute_pairwise_scores_with_loaders
+from kronfluence_tpu.task import Task
+from kronfluence_tpu.utils.constants import (
+    ALL_MODULE_NAME,
+    ACTIVATION_COVARIANCE_MATRIX_NAME,
+    LAMBDA_MATRIX_NAME,
+    NUM_ACTIVATION_COVARIANCE_PROCESSED,
+)
+from kronfluence_tpu.utils.dataset import BatchLoader
+
+from tests.testable_tasks.regression import (
+    RegressionTask,
+    make_mlp,
+    make_regression_data,
+)
+
+FP64_FACTOR = dict(
+    use_empirical_fisher=True,
+    activation_covariance_dtype="float64",
+    gradient_covariance_dtype="float64",
+    per_sample_gradient_dtype="float64",
+    lambda_dtype="float64",
+)
+
+
+# ---- Raw functional (non-flax) model support ----
+
+def test_functional_model_matches_flax():
+    """A raw apply-fn model using kronfluence_tpu.nn tagged ops produces the
+    same factors as the equivalent flax model."""
+    flax_model, params, task = make_mlp()
+    data = make_regression_data(8)
+
+    def apply_fn(p, x):
+        h = knn.linear(x, p["layers_0"]["kernel"], p["layers_0"]["bias"], name="layers_0")
+        h = jax.nn.relu(h)
+        h = knn.linear(h, p["layers_1"]["kernel"], p["layers_1"]["bias"], name="layers_1")
+        h = jax.nn.relu(h)
+        return knn.linear(h, p["output"]["kernel"], p["output"]["bias"], name="output")
+
+    func_model = prepare_model(apply_fn, task)
+    args = FactorArguments(strategy="ekfac", **FP64_FACTOR)
+    base = fit_covariance_matrices_with_loader(
+        flax_model, params, task, BatchLoader(data, 4), args
+    )
+    func = fit_covariance_matrices_with_loader(
+        func_model, params, task, BatchLoader(data, 4), args
+    )
+    for factor_name in base:
+        for mod in base[factor_name]:
+            np.testing.assert_allclose(
+                base[factor_name][mod], func[factor_name][mod], rtol=1e-9, atol=1e-12
+            )
+
+
+# ---- post_process_per_sample_gradient ----
+
+class ScaledGradientTask(RegressionTask):
+    enable_post_process_per_sample_gradient = True
+
+    def post_process_per_sample_gradient(self, module_name, gradient):
+        return gradient * 2.0
+
+
+def test_post_process_per_sample_gradient_scales_lambda_and_scores():
+    model, params, base_task = make_mlp()
+    task = ScaledGradientTask()
+    data = make_regression_data(8)
+    query = make_regression_data(3, seed=1)
+    args = FactorArguments(strategy="ekfac", **FP64_FACTOR)
+    loader = lambda: BatchLoader(data, 4)
+
+    cov = fit_covariance_matrices_with_loader(model, params, base_task, loader(), args)
+    eigen = perform_eigendecomposition(cov, args)
+    lam_base = fit_lambda_matrices_with_loader(
+        model, params, base_task, loader(), args, eigen_factors=eigen
+    )
+    lam_scaled = fit_lambda_matrices_with_loader(
+        model, params, task, loader(), args, eigen_factors=eigen
+    )
+    name = sorted(lam_base[LAMBDA_MATRIX_NAME])[0]
+    np.testing.assert_allclose(
+        lam_scaled[LAMBDA_MATRIX_NAME][name],
+        4.0 * lam_base[LAMBDA_MATRIX_NAME][name],
+        rtol=1e-9,
+        atol=1e-12,  # eigenbasis rotation leaves denormal-scale entries
+    )
+
+    # Pairwise: query and train gradients both scaled -> scores x4 (same factors).
+    factors = {**cov, **eigen, **lam_base}
+    score_args = ScoreArguments(
+        damping_factor=1e-8, score_dtype="float64",
+        per_sample_gradient_dtype="float64", precondition_dtype="float64",
+    )
+    base_scores = compute_pairwise_scores_with_loaders(
+        model, params, base_task, BatchLoader(query, 3), loader(), factors, args, score_args
+    )
+    scaled_scores = compute_pairwise_scores_with_loaders(
+        model, params, task, BatchLoader(query, 3), loader(), factors, args, score_args
+    )
+    np.testing.assert_allclose(
+        scaled_scores[ALL_MODULE_NAME], 4.0 * base_scores[ALL_MODULE_NAME],
+        rtol=1e-7, atol=1e-10,  # different contraction order on each path
+    )
+
+
+# ---- BatchNorm model (eval mode, mutable state as constants) ----
+
+def test_batchnorm_model_capture():
+    import flax.linen as nn
+
+    class BNNet(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(8, name="fc1")(x)
+            x = nn.BatchNorm(use_running_average=True, name="bn")(x)
+            x = nn.relu(x)
+            return nn.Dense(1, name="fc2")(x)
+
+    module = BNNet()
+    x0 = jnp.zeros((2, 4), jnp.float64)
+    variables = module.init(jax.random.PRNGKey(0), x0)
+    variables = jax.tree_util.tree_map(lambda p: p.astype(jnp.float64), variables)
+    task = RegressionTask()
+    model = prepare_model(module, task)
+    data = {"x": np.random.default_rng(0).normal(size=(6, 4)),
+            "y": np.random.default_rng(1).normal(size=(6, 1))}
+    args = FactorArguments(strategy="ekfac", **FP64_FACTOR)
+    # Pass full variables (params + batch_stats) as the parameter pytree.
+    factors = fit_covariance_matrices_with_loader(
+        model, variables, task, BatchLoader(data, 3), args
+    )
+    assert set(factors[ACTIVATION_COVARIANCE_MATRIX_NAME]) == {"fc1", "fc2"}
+
+
+# ---- Encoder-decoder with dict attention masks ----
+
+class Seq2SeqTask(Task):
+    def compute_train_loss(self, batch, model, sample=False, rng=None):
+        import optax
+
+        logits = model(
+            batch["input_ids"],
+            batch["decoder_input_ids"],
+            batch["attention_mask"],
+            batch["decoder_attention_mask"],
+        )[:, :-1]
+        labels = batch["decoder_input_ids"][:, 1:]
+        mask = batch["decoder_attention_mask"][:, 1:].astype(logits.dtype)
+        if sample:
+            labels = jax.random.categorical(rng, jax.lax.stop_gradient(logits))
+        return jnp.sum(
+            optax.softmax_cross_entropy_with_integer_labels(logits, labels) * mask
+        )
+
+    def compute_measurement(self, batch, model):
+        return self.compute_train_loss(batch, model)
+
+    def get_attention_mask(self, batch):
+        # Dict form: encoder modules get the encoder mask, decoder modules the
+        # decoder mask (reference task.py:83-99).
+        masks = {}
+        for i in range(2):
+            for sub in ("attn/q", "attn/k", "attn/v", "attn/o", "mlp/wi", "mlp/wo"):
+                masks[f"encoder_{i}/{sub}"] = batch["attention_mask"]
+            for sub in ("self_attn/q", "self_attn/k", "self_attn/v", "self_attn/o",
+                        "cross_attn/q", "cross_attn/o", "mlp/wi", "mlp/wo"):
+                masks[f"decoder_{i}/{sub}"] = batch["decoder_attention_mask"]
+            for sub in ("cross_attn/k", "cross_attn/v"):
+                masks[f"decoder_{i}/{sub}"] = batch["attention_mask"]
+        masks["lm_head"] = batch["decoder_attention_mask"]
+        return masks
+
+
+def test_encoder_decoder_dict_masks():
+    from kronfluence_tpu.models.encoder_decoder import EncDecConfig, EncDecLM
+
+    config = EncDecConfig(dtype=jnp.float64, param_dtype=jnp.float64)
+    module = EncDecLM(config)
+    ids = jnp.zeros((1, config.max_seq_len), jnp.int32)
+    params = module.init(jax.random.PRNGKey(0), ids, ids)["params"]
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.float64), params)
+    task = Seq2SeqTask()
+    model = prepare_model(module, task)
+
+    rng = np.random.default_rng(0)
+    n, t = 6, config.max_seq_len
+    enc_mask = np.ones((n, t), dtype=np.int32)
+    dec_mask = np.ones((n, t), dtype=np.int32)
+    enc_mask[:, t // 2 :] = 0  # encoder sequences half-length
+    data = {
+        "input_ids": rng.integers(1, config.vocab_size, size=(n, t)).astype(np.int32) * enc_mask,
+        "decoder_input_ids": rng.integers(1, config.vocab_size, size=(n, t)).astype(np.int32),
+        "attention_mask": enc_mask,
+        "decoder_attention_mask": dec_mask,
+    }
+    args = FactorArguments(strategy="ekfac", **FP64_FACTOR)
+    factors = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(data, 3), args
+    )
+    # Encoder modules count only unmasked encoder tokens; decoder modules all.
+    enc_count = int(factors[NUM_ACTIVATION_COVARIANCE_PROCESSED]["encoder_0/attn/q"][0])
+    dec_count = int(factors[NUM_ACTIVATION_COVARIANCE_PROCESSED]["decoder_0/self_attn/q"][0])
+    assert enc_count == int(enc_mask.sum())
+    assert dec_count == int(dec_mask.sum())
+
+
+# ---- Analyzer utilities / presets ----
+
+def test_get_module_summary_and_presets(tmp_path):
+    from kronfluence_tpu import Analyzer
+    from kronfluence_tpu.utils.common.factor_arguments import (
+        all_low_precision_factor_arguments,
+        extreme_reduce_memory_factor_arguments,
+        pytest_factor_arguments,
+    )
+    from kronfluence_tpu.utils.common.score_arguments import (
+        default_score_arguments,
+        pytest_score_arguments,
+    )
+
+    model, params, task = make_mlp()
+    analyzer = Analyzer(
+        "summary_test", model, task, params=params, output_dir=str(tmp_path)
+    )
+    data = make_regression_data(4)
+    summary = None
+    analyzer._layer_specs(data)
+    summary = analyzer.get_module_summary()
+    assert "layers_0" in summary and "output" in summary
+
+    assert pytest_factor_arguments().use_empirical_fisher
+    assert all_low_precision_factor_arguments().to_dict()["lambda_dtype"] == "bfloat16"
+    extreme = extreme_reduce_memory_factor_arguments(module_partitions=4)
+    assert extreme.covariance_module_partitions == 4
+    assert default_score_arguments(query_gradient_low_rank=16).query_gradient_accumulation_steps == 10
+    assert pytest_score_arguments().to_dict()["score_dtype"] == "float64"
+
+
+def test_partitioned_factors_match_unpartitioned(tmp_path):
+    """(data x module)-partitioned covariance/lambda aggregate identically
+    (reference: tests/factors/test_covariances.py:155)."""
+    from kronfluence_tpu import Analyzer
+
+    model, params, task = make_mlp()
+    data = make_regression_data(12)
+    base_args = FactorArguments(strategy="ekfac", **FP64_FACTOR)
+    part_args = FactorArguments(
+        strategy="ekfac",
+        covariance_data_partitions=2,
+        covariance_module_partitions=2,
+        lambda_data_partitions=3,
+        lambda_module_partitions=1,
+        **FP64_FACTOR,
+    )
+    analyzer = Analyzer("partition_test", model, task, params=params, output_dir=str(tmp_path))
+    analyzer.fit_all_factors("base", data, per_device_batch_size=4, factor_args=base_args)
+    analyzer.fit_all_factors("parts", data, per_device_batch_size=4, factor_args=part_args)
+    base_cov = analyzer.load_covariance_matrices("base")
+    part_cov = analyzer.load_covariance_matrices("parts")
+    for factor_name in base_cov:
+        for mod in base_cov[factor_name]:
+            np.testing.assert_allclose(
+                base_cov[factor_name][mod], part_cov[factor_name][mod],
+                rtol=1e-8, atol=1e-10, err_msg=f"{factor_name}/{mod}",
+            )
+    base_lam = analyzer.load_lambda_matrices("base")
+    part_lam = analyzer.load_lambda_matrices("parts")
+    for mod in base_lam[LAMBDA_MATRIX_NAME]:
+        np.testing.assert_allclose(
+            base_lam[LAMBDA_MATRIX_NAME][mod], part_lam[LAMBDA_MATRIX_NAME][mod],
+            rtol=1e-8, atol=1e-10,
+        )
