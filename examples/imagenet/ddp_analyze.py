@@ -1,0 +1,98 @@
+"""ImageNet-style ResNet-50 influence analysis with data parallelism
+(reference: examples/imagenet/ddp_analyze.py).
+
+Demonstrates the reference's DDP + query-batching headline configuration on a
+device mesh: the batch is sharded over the mesh data axis; XLA inserts the
+cross-device factor reductions that the reference performs with NCCL.
+
+    python examples/imagenet/ddp_analyze.py --data_parallel 4 --image_size 64
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from kronfluence_tpu import Analyzer, FactorArguments, ScoreArguments, prepare_model
+from kronfluence_tpu.models.resnet import resnet50
+from kronfluence_tpu.parallel.mesh import make_mesh
+from kronfluence_tpu.task import Task
+
+
+class ClassificationTask(Task):
+    def compute_train_loss(self, batch, model, sample=False, rng=None):
+        logits = model(batch["x"])
+        if sample:
+            labels = jax.random.categorical(rng, jax.lax.stop_gradient(logits))
+        else:
+            labels = batch["y"]
+        return jnp.sum(optax.softmax_cross_entropy_with_integer_labels(logits, labels))
+
+    def compute_measurement(self, batch, model):
+        logits = model(batch["x"])
+        labels = batch["y"]
+        bindex = jnp.arange(logits.shape[0])
+        correct = logits[bindex, labels]
+        cloned = logits.at[bindex, labels].set(-jnp.inf)
+        return -jnp.sum(correct - jax.nn.logsumexp(cloned, axis=-1))
+
+
+def synthetic_imagenet(num, size, classes=1000, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "x": rng.normal(size=(num, size, size, 3)).astype(np.float32),
+        "y": rng.integers(0, classes, size=num),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_parallel", type=int, default=None,
+                        help="mesh data-axis size (default: all devices)")
+    parser.add_argument("--image_size", type=int, default=64)
+    parser.add_argument("--num_classes", type=int, default=100)
+    parser.add_argument("--num_train", type=int, default=256)
+    parser.add_argument("--num_query", type=int, default=16)
+    parser.add_argument("--per_device_batch_size", type=int, default=8)
+    parser.add_argument("--query_gradient_low_rank", type=int, default=32)
+    parser.add_argument("--output_dir", default="./influence_results/imagenet")
+    args = parser.parse_args()
+
+    mesh = make_mesh(data=args.data_parallel)
+    print(f"mesh: {dict(mesh.shape)}")
+
+    module = resnet50(num_classes=args.num_classes)
+    task = ClassificationTask()
+    model = prepare_model(module, task)
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, args.image_size, args.image_size, 3))
+    )
+
+    train_data = synthetic_imagenet(args.num_train, args.image_size, args.num_classes, 0)
+    query_data = synthetic_imagenet(args.num_query, args.image_size, args.num_classes, 1)
+
+    analyzer = Analyzer("imagenet", model, task, params=variables, mesh=mesh,
+                        output_dir=args.output_dir, profile=True)
+    analyzer.fit_all_factors(
+        "ekfac", train_data, per_device_batch_size=args.per_device_batch_size,
+        factor_args=FactorArguments(strategy="ekfac"),
+    )
+    analyzer.compute_pairwise_scores(
+        "pairwise_qb", "ekfac", query_data, train_data,
+        per_device_query_batch_size=args.num_query,
+        per_device_train_batch_size=args.per_device_batch_size,
+        score_args=ScoreArguments(query_gradient_low_rank=args.query_gradient_low_rank),
+    )
+    scores = analyzer.load_pairwise_scores("pairwise_qb")["all_modules"]
+    print(f"pairwise scores: {scores.shape}")
+    print(analyzer.profiler.summary())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""OpenWebText/Llama-style large-LM factor fitting (reference:
+examples/openwebtext/fit_factors.py).
+
+The reference's biggest workload: MLP-only tracked modules, bf16,
+extreme-reduce-memory arguments with (module x data) partitions on 4 GPUs.
+Here the same recipe runs on a TPU mesh: batch sharded over the data axis,
+parameters sharded over the model axis (FSDP analogue), partitioned artifacts
+on disk for preemption-safe resume.
+
+    python examples/openwebtext/fit_factors.py --num_layers 4 --d_model 512
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from kronfluence_tpu import Analyzer, prepare_model
+from kronfluence_tpu.models.transformer import TransformerConfig, TransformerLM
+from kronfluence_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+from kronfluence_tpu.task import Task
+from kronfluence_tpu.utils.common.factor_arguments import (
+    extreme_reduce_memory_factor_arguments,
+)
+
+
+class MLPOnlyLMTask(Task):
+    """Margin-style measurement + MLP-only tracked modules
+    (reference: examples/openwebtext/task.py:53-100)."""
+
+    def __init__(self, num_layers: int):
+        self.num_layers = num_layers
+
+    def compute_train_loss(self, batch, model, sample=False, rng=None):
+        logits = model(batch["input_ids"], batch["attention_mask"])[:, :-1]
+        mask = batch["attention_mask"][:, 1:].astype(jnp.float32)
+        if sample:
+            labels = jax.random.categorical(
+                rng, jax.lax.stop_gradient(logits).astype(jnp.float32)
+            )
+        else:
+            labels = batch["input_ids"][:, 1:]
+        losses = optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), labels
+        )
+        return jnp.sum(losses * mask)
+
+    def compute_measurement(self, batch, model):
+        # Margin of the target tokens vs the rest of the vocabulary.
+        logits = model(batch["input_ids"], batch["attention_mask"])[:, :-1]
+        logits = logits.astype(jnp.float32)
+        labels = batch["input_ids"][:, 1:]
+        mask = batch["attention_mask"][:, 1:].astype(jnp.float32)
+        correct = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+        masked = jnp.where(
+            jax.nn.one_hot(labels, logits.shape[-1], dtype=bool), -jnp.inf, logits
+        )
+        margins = correct - jax.nn.logsumexp(masked, axis=-1)
+        return -jnp.sum(margins * mask)
+
+    def get_influence_tracked_modules(self):
+        names = []
+        for i in range(self.num_layers):
+            names += [f"h_{i}/mlp/c_fc", f"h_{i}/mlp/c_proj"]
+        return names
+
+    def get_attention_mask(self, batch):
+        return batch["attention_mask"]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num_layers", type=int, default=4)
+    parser.add_argument("--d_model", type=int, default=512)
+    parser.add_argument("--num_heads", type=int, default=8)
+    parser.add_argument("--seq_len", type=int, default=256)
+    parser.add_argument("--vocab", type=int, default=8192)
+    parser.add_argument("--num_train", type=int, default=256)
+    parser.add_argument("--per_device_batch_size", type=int, default=4)
+    parser.add_argument("--model_parallel", type=int, default=1)
+    parser.add_argument("--module_partitions", type=int, default=2)
+    parser.add_argument("--data_partitions", type=int, default=2)
+    parser.add_argument("--output_dir", default="./influence_results/openwebtext")
+    args = parser.parse_args()
+
+    mesh = make_mesh(model=args.model_parallel)
+    print(f"mesh: {dict(mesh.shape)}")
+
+    config = TransformerConfig(
+        vocab_size=args.vocab, max_seq_len=args.seq_len,
+        num_layers=args.num_layers, num_heads=args.num_heads, d_model=args.d_model,
+        dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+    )
+    module = TransformerLM(config)
+    task = MLPOnlyLMTask(args.num_layers)
+    model = prepare_model(module, task)
+    params = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, args.seq_len), jnp.int32)
+    )["params"]
+
+    # FSDP-style: shard every matrix's last dim over the model axis.
+    def shard_param(p):
+        if p.ndim >= 2 and p.shape[-1] % args.model_parallel == 0:
+            return jax.device_put(
+                p, NamedSharding(mesh, P(*([None] * (p.ndim - 1) + [MODEL_AXIS])))
+            )
+        return jax.device_put(p, NamedSharding(mesh, P()))
+
+    params = jax.tree_util.tree_map(shard_param, params)
+
+    rng = np.random.default_rng(0)
+    train_data = {
+        "input_ids": rng.integers(1, args.vocab, size=(args.num_train, args.seq_len)).astype(np.int32),
+        "attention_mask": np.ones((args.num_train, args.seq_len), dtype=np.int32),
+    }
+
+    factor_args = extreme_reduce_memory_factor_arguments(
+        strategy="ekfac", module_partitions=args.module_partitions
+    )
+    factor_args.covariance_data_partitions = args.data_partitions
+    factor_args.lambda_data_partitions = args.data_partitions
+    factor_args.eigendecomposition_dtype = "float32"  # on-device batched eigh
+
+    analyzer = Analyzer("openwebtext", model, task, params=params, mesh=mesh,
+                        output_dir=args.output_dir, profile=True)
+    analyzer.fit_all_factors(
+        "ekfac", train_data, per_device_batch_size=args.per_device_batch_size,
+        factor_args=factor_args,
+    )
+    print("factor fitting complete; artifacts (partitioned + aggregated):")
+    for f in sorted(Path(analyzer.factors_output_dir("ekfac")).glob("*.safetensors")):
+        print(" ", f.name)
+    print(analyzer.profiler.summary())
+
+
+if __name__ == "__main__":
+    main()

@@ -36,11 +36,35 @@ _STRATEGIES: Dict[str, Type["FactorConfig"]] = {}
 
 @dataclass
 class PreconditionState:
-    """Per-module device-ready preconditioning state."""
+    """Per-module device-ready preconditioning state.
+
+    Registered as a JAX pytree so it can be passed as an explicit jit
+    argument — closing over it would inline hundreds of MB of eigenvectors
+    as HLO constants (recompiled per call, and oversized for remote-compile
+    services)."""
 
     inverse_lambda: Optional[jax.Array] = None  # (out_dim, in_dim[+1])
     activation_eigenvectors: Optional[jax.Array] = None  # (in_dim[+1], in_dim[+1])
     gradient_eigenvectors: Optional[jax.Array] = None  # (out_dim, out_dim)
+
+
+def _precondition_state_flatten(state: "PreconditionState"):
+    children = (
+        state.inverse_lambda,
+        state.activation_eigenvectors,
+        state.gradient_eigenvectors,
+    )
+    return children, None
+
+
+def _precondition_state_unflatten(aux, children) -> "PreconditionState":
+    del aux
+    return PreconditionState(*children)
+
+
+jax.tree_util.register_pytree_node(
+    PreconditionState, _precondition_state_flatten, _precondition_state_unflatten
+)
 
 
 class FactorConfig:

@@ -71,6 +71,33 @@ def discover_stage_specs(
     return specs
 
 
+def _build_covariance_step(model, task, tracked_key_, act_dtype, grad_dtype, sample, mesh):
+    act_accum = accumulation_dtype(act_dtype)
+    grad_accum = accumulation_dtype(grad_dtype)
+    tracked = list(tracked_key_) if tracked_key_ is not None else None
+    out_shardings = replicated(mesh) if mesh is not None else None
+
+    @partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)
+    def step(state, params, batch, valid, rng):
+        forward = train_loss_forward(model, task, params, batch, sample, rng)
+        _, captures = capture(forward, tracked)
+        masks = task.get_attention_mask(batch)
+        for name, cap in captures.items():
+            spec = cap.spec
+            att = _attention_mask_for(name, masks)
+            mod_state = state[name]
+            for a, dy in zip(cap.activations, cap.output_gradients):
+                a_flat, count_a = flatten_activation(spec, a, att, valid, act_dtype)
+                mod_state[ACTIVATION_COVARIANCE_MATRIX_NAME] += gram(a_flat, act_accum)
+                mod_state[NUM_ACTIVATION_COVARIANCE_PROCESSED] += count_a
+                g_flat, count_g = flatten_gradient(spec, dy, att, valid, grad_dtype)
+                mod_state[GRADIENT_COVARIANCE_MATRIX_NAME] += gram(g_flat, grad_accum)
+                mod_state[NUM_GRADIENT_COVARIANCE_PROCESSED] += count_g
+        return state
+
+    return step
+
+
 def fit_covariance_matrices_with_loader(
     model: PreparedModel,
     params: Any,
@@ -82,6 +109,8 @@ def fit_covariance_matrices_with_loader(
     profiler=None,
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """Fits activation/gradient covariance over all batches of `loader`."""
+    from kronfluence_tpu.utils.jit_cache import cached_step, tracked_key
+
     factor_args = factor_args or FactorArguments()
     tracked_names = tracked_names if tracked_names is not None else model.tracked_names
     act_dtype = resolve_dtype(factor_args.activation_covariance_dtype)
@@ -112,32 +141,17 @@ def fit_covariance_matrices_with_loader(
         }
         for name, spec in specs.items()
     }
-
-    out_shardings = (
-        jax.tree_util.tree_map(lambda _: replicated(mesh), state) if mesh is not None else None
-    )
     if mesh is not None:
         # Donated input must already live replicated on the mesh to alias the
         # replicated output buffers.
         state = jax.device_put(state, replicated(mesh))
 
-    @partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)
-    def step(state, params, batch, valid, rng):
-        forward = train_loss_forward(model, task, params, batch, sample, rng)
-        _, captures = capture(forward, tracked_names)
-        masks = task.get_attention_mask(batch)
-        for name, cap in captures.items():
-            spec = cap.spec
-            att = _attention_mask_for(name, masks)
-            mod_state = state[name]
-            for a, dy in zip(cap.activations, cap.output_gradients):
-                a_flat, count_a = flatten_activation(spec, a, att, valid, act_dtype)
-                mod_state[ACTIVATION_COVARIANCE_MATRIX_NAME] += gram(a_flat, act_accum)
-                mod_state[NUM_ACTIVATION_COVARIANCE_PROCESSED] += count_a
-                g_flat, count_g = flatten_gradient(spec, dy, att, valid, grad_dtype)
-                mod_state[GRADIENT_COVARIANCE_MATRIX_NAME] += gram(g_flat, grad_accum)
-                mod_state[NUM_GRADIENT_COVARIANCE_PROCESSED] += count_g
-        return state
+    tkey = tracked_key(tracked_names)
+    step = cached_step(
+        model,
+        ("covariance", id(task), tkey, str(act_dtype), str(grad_dtype), sample, mesh),
+        lambda: _build_covariance_step(model, task, tkey, act_dtype, grad_dtype, sample, mesh),
+    )
 
     step_idx = 0
 

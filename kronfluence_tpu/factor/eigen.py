@@ -129,6 +129,67 @@ def perform_eigendecomposition(
     return eigen_factors
 
 
+def _build_lambda_step(
+    model, task, tracked_key_, psg_dtype, lambda_dtype, sample, mesh, use_eigenbasis
+):
+    lambda_accum = accumulation_dtype(lambda_dtype)
+    tracked = list(tracked_key_) if tracked_key_ is not None else None
+    post_process = task.enable_post_process_per_sample_gradient
+    out_shardings = replicated(mesh) if mesh is not None else None
+
+    def _lambda_contribution(spec, name, activations, output_gradients, valid, q_a, q_g):
+        """Σ_b (projected per-sample grad)^2 for one module, one batch."""
+        # Shared parameters (module applied multiple times per forward) must
+        # sum per-sample gradients across uses *before* squaring
+        # (reference: tracker/factor.py:275-301). Use counts are static at
+        # trace time, so sharing is auto-detected — no flag needed.
+        if post_process or len(activations) > 1:
+            # Materialize raw per-sample gradients (summed over uses), apply
+            # optional post-processing, then sandwich-project.
+            psg = None
+            for a, dy in zip(activations, output_gradients):
+                a_tok = activation_tokens_with_bias(spec, a, psg_dtype)
+                g_tok = gradient_tokens(spec, dy, valid, psg_dtype)
+                contrib = psg_op(a_tok, g_tok, psg_dtype)
+                psg = contrib if psg is None else psg + contrib
+            if post_process:
+                psg = task.post_process_per_sample_gradient(name, psg)
+            psg = psg.astype(lambda_dtype)
+            if use_eigenbasis:
+                psg = jnp.einsum(
+                    "po,boi,iq->bpq",
+                    q_g.T.astype(lambda_dtype), psg, q_a.astype(lambda_dtype),
+                )
+            return jnp.sum(jnp.square(psg), axis=0).astype(lambda_accum)
+        # Fast path: rotate token streams into the eigenbases first.
+        total = None
+        for a, dy in zip(activations, output_gradients):
+            a_tok = activation_tokens_with_bias(spec, a, psg_dtype)
+            g_tok = gradient_tokens(spec, dy, valid, psg_dtype)
+            if use_eigenbasis:
+                a_tok = jnp.matmul(a_tok, q_a, preferred_element_type=psg_dtype)
+                g_tok = jnp.matmul(g_tok, q_g, preferred_element_type=psg_dtype)
+            psg = psg_op(a_tok, g_tok, lambda_dtype)
+            contrib = jnp.sum(jnp.square(psg), axis=0).astype(lambda_accum)
+            total = contrib if total is None else total + contrib
+        return total
+
+    @partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)
+    def step(state, params, batch, valid, rng, q_a_all, q_g_all):
+        forward = train_loss_forward(model, task, params, batch, sample, rng)
+        _, captures = capture(forward, tracked)
+        num_valid = jnp.sum(valid.astype(jnp.int32))
+        for name, cap in captures.items():
+            state[name][LAMBDA_MATRIX_NAME] += _lambda_contribution(
+                cap.spec, name, cap.activations, cap.output_gradients, valid,
+                q_a_all.get(name), q_g_all.get(name),
+            )
+            state[name][NUM_LAMBDA_PROCESSED] += num_valid
+        return state
+
+    return step
+
+
 def fit_lambda_matrices_with_loader(
     model: PreparedModel,
     params: Any,
@@ -142,6 +203,7 @@ def fit_lambda_matrices_with_loader(
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """Fits Lambda matrices (squared per-sample gradients in the eigenbasis)."""
     from kronfluence_tpu.factor.covariance import discover_stage_specs
+    from kronfluence_tpu.utils.jit_cache import cached_step, tracked_key
 
     factor_args = factor_args or FactorArguments()
     tracked_names = tracked_names if tracked_names is not None else model.tracked_names
@@ -188,61 +250,20 @@ def fit_lambda_matrices_with_loader(
         for name, spec in specs.items()
     }
 
-    out_shardings = (
-        jax.tree_util.tree_map(lambda _: replicated(mesh), state) if mesh is not None else None
-    )
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
 
-    def _lambda_contribution(spec, name, activations, output_gradients, valid, eigvecs):
-        """Σ_b (projected per-sample grad)^2 for one module, one batch."""
-        q_a, q_g = eigvecs.get(name, (None, None))
-        # Shared parameters (module applied multiple times per forward) must
-        # sum per-sample gradients across uses *before* squaring
-        # (reference: tracker/factor.py:275-301). Use counts are static at
-        # trace time, so sharing is auto-detected — no flag needed.
-        if post_process or len(activations) > 1:
-            # Materialize raw per-sample gradients (summed over uses), apply
-            # optional post-processing, then sandwich-project.
-            psg = None
-            for a, dy in zip(activations, output_gradients):
-                a_tok = activation_tokens_with_bias(spec, a, psg_dtype)
-                g_tok = gradient_tokens(spec, dy, valid, psg_dtype)
-                contrib = psg_op(a_tok, g_tok, psg_dtype)
-                psg = contrib if psg is None else psg + contrib
-            if post_process:
-                psg = task.post_process_per_sample_gradient(name, psg)
-            psg = psg.astype(lambda_dtype)
-            if use_eigenbasis:
-                psg = jnp.einsum("po,boi,iq->bpq", q_g.T.astype(lambda_dtype), psg, q_a.astype(lambda_dtype))
-            return jnp.sum(jnp.square(psg), axis=0).astype(lambda_accum)
-        # Fast path: rotate token streams into the eigenbases first.
-        total = None
-        for a, dy in zip(activations, output_gradients):
-            a_tok = activation_tokens_with_bias(spec, a, psg_dtype)
-            g_tok = gradient_tokens(spec, dy, valid, psg_dtype)
-            if use_eigenbasis:
-                a_tok = jnp.matmul(a_tok, q_a, preferred_element_type=psg_dtype)
-                g_tok = jnp.matmul(g_tok, q_g, preferred_element_type=psg_dtype)
-            psg = psg_op(a_tok, g_tok, lambda_dtype)
-            contrib = jnp.sum(jnp.square(psg), axis=0).astype(lambda_accum)
-            total = contrib if total is None else total + contrib
-        return total
-
-    @partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)
-    def step(state, params, batch, valid, rng, q_a_all, q_g_all):
-        forward = train_loss_forward(model, task, params, batch, sample, rng)
-        _, captures = capture(forward, tracked_names)
-        eigvecs = {
-            name: (q_a_all.get(name), q_g_all.get(name)) for name in captures
-        }
-        num_valid = jnp.sum(valid.astype(jnp.int32))
-        for name, cap in captures.items():
-            state[name][LAMBDA_MATRIX_NAME] += _lambda_contribution(
-                cap.spec, name, cap.activations, cap.output_gradients, valid, eigvecs
-            )
-            state[name][NUM_LAMBDA_PROCESSED] += num_valid
-        return state
+    tkey = tracked_key(tracked_names)
+    step = cached_step(
+        model,
+        (
+            "lambda", id(task), tkey, str(psg_dtype), str(lambda_dtype),
+            sample, mesh, use_eigenbasis,
+        ),
+        lambda: _build_lambda_step(
+            model, task, tkey, psg_dtype, lambda_dtype, sample, mesh, use_eigenbasis
+        ),
+    )
 
     step_idx = 0
 

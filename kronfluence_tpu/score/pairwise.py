@@ -9,13 +9,18 @@ token streams directly against the preconditioned query block — train
 per-sample gradients are never materialized (reference:
 module/tracker/pairwise_score.py:74-103).
 
+All large operands (parameters, eigenvector/precondition state, query blocks)
+are explicit jit arguments, never closures — closures would bake them into
+the HLO as constants and force a recompile per stage invocation. Jitted steps
+are cached on the model across calls.
+
 Score assembly happens on the host into a (num_queries, num_train) numpy
 array; query/train padding rows introduced by static-shape batching are
 trimmed here (the analogue of reference `truncate`/gather-trim).
 """
 
 from functools import partial
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -38,29 +43,28 @@ from kronfluence_tpu.score.common import (
 from kronfluence_tpu.task import Task
 from kronfluence_tpu.utils.constants import ALL_MODULE_NAME
 from kronfluence_tpu.utils.dtypes import resolve_dtype
+from kronfluence_tpu.utils.jit_cache import cached_step, tracked_key
 
 
-def _compute_query_block(
-    model: PreparedModel,
-    task: Task,
-    score_args: ScoreArguments,
-    strategy_config,
-    precondition_states,
-    tracked_names,
-    use_measurement: bool = True,
-):
-    """Builds the jitted query-gradient step: batch -> per-module
-    preconditioned gradients (dense (q,o,i) or low-rank (L,R))."""
+def _score_args_key(score_args: ScoreArguments):
+    return tuple(sorted(score_args.to_str_dict().items()))
+
+
+def _build_query_step(model, task, tracked, score_args, strategy):
+    """Jitted query-gradient step: batch -> per-module preconditioned
+    gradients (dense (q,o,i) or low-rank (L,R) pairs)."""
+    strategy_config = get_factor_config(strategy)
     psg_dtype = resolve_dtype(score_args.per_sample_gradient_dtype)
     precond_dtype = resolve_dtype(score_args.precondition_dtype)
     svd_dtype = resolve_dtype(score_args.query_gradient_svd_dtype)
     score_dtype = resolve_dtype(score_args.score_dtype)
     rank = score_args.query_gradient_low_rank
+    use_full_svd = score_args.use_full_svd
 
     @jax.jit
-    def query_step(params, batch, valid, rng):
+    def query_step(params, batch, valid, rng, precondition_states):
         forward = measurement_forward(model, task, params, batch)
-        _, captures = capture(forward, tracked_names)
+        _, captures = capture(forward, tracked)
         out = {}
         for name, cap in captures.items():
             psg = module_per_sample_gradients(cap, valid, psg_dtype, task, name)
@@ -69,7 +73,7 @@ def _compute_query_block(
             )
             if rank is not None and min(psg.shape[1:]) > rank:
                 psg = psg.astype(svd_dtype)
-                if score_args.use_full_svd:
+                if use_full_svd:
                     out[name] = lowrank_factors_full(psg, rank, score_dtype)
                 else:
                     out[name] = lowrank_factors_randomized(psg, rank, score_dtype, rng)
@@ -78,6 +82,66 @@ def _compute_query_block(
         return out
 
     return query_step
+
+
+def _build_train_step(model, task, tracked, score_args, per_module):
+    psg_dtype = resolve_dtype(score_args.per_sample_gradient_dtype)
+    score_dtype = resolve_dtype(score_args.score_dtype)
+    per_token = score_args.compute_per_token_scores
+    post_process = task.enable_post_process_per_sample_gradient
+
+    @jax.jit
+    def train_step(params, batch, valid, query_block):
+        forward = train_loss_forward(
+            model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)
+        )
+        _, captures = capture(forward, tracked)
+        per_module_scores = {}
+        for name, cap in captures.items():
+            pg = query_block[name]
+            if post_process and not isinstance(pg, tuple):
+                # Post-processed gradients need materialized train gradients
+                # (reference: pairwise_score.py:95-103).
+                train_psg = module_per_sample_gradients(cap, valid, psg_dtype, task, name)
+                score = jnp.einsum(
+                    "qoi,boi->qb", pg.astype(psg_dtype), train_psg
+                ).astype(score_dtype)
+            else:
+                score = None
+                for a, dy in zip(cap.activations, cap.output_gradients):
+                    a_tok = activation_tokens_with_bias(cap.spec, a, psg_dtype)
+                    g_tok = gradient_tokens(cap.spec, dy, valid, psg_dtype)
+                    contrib = pairwise_score(pg, a_tok, g_tok, per_token, score_dtype)
+                    score = contrib if score is None else score + contrib
+            per_module_scores[name] = score
+        if per_module:
+            return per_module_scores
+        total = None
+        for score in per_module_scores.values():
+            total = score if total is None else total + score
+        return {ALL_MODULE_NAME: total}
+
+    return train_step
+
+
+def _build_summed_gradient_step(model, task, tracked, psg_dtype, use_measurement):
+    @jax.jit
+    def sum_step(params, batch, valid):
+        if use_measurement:
+            forward = measurement_forward(model, task, params, batch)
+        else:
+            forward = train_loss_forward(
+                model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)
+            )
+        _, captures = capture(forward, tracked)
+        return {
+            name: jnp.sum(
+                module_per_sample_gradients(cap, valid, psg_dtype, task, name), axis=0
+            )
+            for name, cap in captures.items()
+        }
+
+    return sum_step
 
 
 def _concat_blocks(blocks: List[Dict[str, Any]]) -> Dict[str, Any]:
@@ -112,11 +176,11 @@ def compute_pairwise_scores_with_loaders(
     """Computes pairwise scores; returns {module_name or 'all_modules': (Q, T[, t])}."""
     score_args = score_args or ScoreArguments()
     tracked_names = tracked_names if tracked_names is not None else model.tracked_names
-    strategy_config = get_factor_config(factor_args.strategy)
-    psg_dtype = resolve_dtype(score_args.per_sample_gradient_dtype)
-    score_dtype = resolve_dtype(score_args.score_dtype)
-    per_token = score_args.compute_per_token_scores
     per_module = score_args.compute_per_module_scores
+    psg_dtype = resolve_dtype(score_args.per_sample_gradient_dtype)
+    tkey = tracked_key(tracked_names)
+    tracked = list(tkey) if tkey is not None else None
+    args_key = _score_args_key(score_args)
 
     # Discover module set from a probe batch to prepare precondition states.
     probe_batch, _ = next(iter(query_loader))
@@ -125,58 +189,69 @@ def compute_pairwise_scores_with_loaders(
     precondition_states = prepare_precondition_states(
         factors, factor_args.strategy, score_args, module_names
     )
+    strategy_config = get_factor_config(factor_args.strategy)
+    precond_dtype = resolve_dtype(score_args.precondition_dtype)
+    score_dtype = resolve_dtype(score_args.score_dtype)
 
     if score_args.aggregate_query_gradients:
-        query_blocks_iter = _aggregated_query_blocks(
-            model, task, params, query_loader, score_args, strategy_config,
-            precondition_states, tracked_names, mesh,
-        )
+        def query_blocks_iter():
+            sum_step = cached_step(
+                model,
+                ("sum_grad", id(task), tkey, str(psg_dtype), True),
+                lambda: _build_summed_gradient_step(model, task, tracked, psg_dtype, True),
+            )
+            total: Dict[str, jax.Array] = {}
+            for batch, valid in query_loader:
+                batch = shard_batch(mesh, batch)
+                valid_dev = shard_batch(mesh, valid)
+                contrib = sum_step(params, batch, valid_dev)
+                for name, val in contrib.items():
+                    total[name] = val if name not in total else total[name] + val
+            block = {}
+            for name, summed in total.items():
+                pg = strategy_config.precondition(
+                    summed[None].astype(precond_dtype), precondition_states[name]
+                )
+                block[name] = pg.astype(score_dtype)
+            yield block
     else:
-        query_step = _compute_query_block(
-            model, task, score_args, strategy_config, precondition_states, tracked_names
-        )
-        query_blocks_iter = _per_sample_query_blocks(
-            query_step, params, query_loader, score_args, mesh
-        )
-
-    post_process = task.enable_post_process_per_sample_gradient
-
-    @jax.jit
-    def train_step(params, batch, valid, query_block):
-        forward = train_loss_forward(
-            model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)
-        )
-        _, captures = capture(forward, tracked_names)
-        per_module_scores = {}
-        for name, cap in captures.items():
-            pg = query_block[name]
-            if post_process and not isinstance(pg, tuple):
-                train_psg = module_per_sample_gradients(cap, valid, psg_dtype, task, name)
-                score = jnp.einsum(
-                    "qoi,boi->qb", pg.astype(psg_dtype), train_psg
-                ).astype(score_dtype)
-            else:
-                score = None
-                for a, dy in zip(cap.activations, cap.output_gradients):
-                    a_tok = activation_tokens_with_bias(cap.spec, a, psg_dtype)
-                    g_tok = gradient_tokens(cap.spec, dy, valid, psg_dtype)
-                    contrib = pairwise_score(pg, a_tok, g_tok, per_token, score_dtype)
-                    score = contrib if score is None else score + contrib
-            per_module_scores[name] = score
-        if per_module:
-            return per_module_scores
-        total = None
-        for score in per_module_scores.values():
-            total = score if total is None else total + score
-        return {ALL_MODULE_NAME: total}
+        def query_blocks_iter():
+            query_step = cached_step(
+                model,
+                ("pairwise_query", id(task), tkey, args_key, factor_args.strategy),
+                lambda: _build_query_step(model, task, tracked, score_args, factor_args.strategy),
+            )
+            pending = []
+            accumulation = score_args.query_gradient_accumulation_steps
+            rng = jax.random.PRNGKey(0)
+            for idx, (batch, valid) in enumerate(query_loader):
+                batch = shard_batch(mesh, batch)
+                valid_dev = shard_batch(mesh, valid)
+                pending.append(
+                    query_step(
+                        params, batch, valid_dev,
+                        jax.random.fold_in(rng, idx), precondition_states,
+                    )
+                )
+                if len(pending) == accumulation:
+                    yield _concat_blocks(pending)
+                    pending = []
+            if pending:
+                yield _concat_blocks(pending)
 
     if score_args.aggregate_train_gradients:
-        train_pass = partial(
-            _aggregated_train_pass,
-            model, task, params, train_loader, score_args, tracked_names, mesh,
-            per_module,
-        )
+        def train_pass(query_block):
+            return _aggregated_train_pass(
+                model, task, params, train_loader, score_args, tracked, tkey, mesh,
+                per_module, query_block,
+            )
     else:
+        train_step = cached_step(
+            model,
+            ("pairwise_train", id(task), tkey, args_key, per_module),
+            lambda: _build_train_step(model, task, tracked, score_args, per_module),
+        )
+
         def train_pass(query_block):
             module_chunks: Dict[str, List[np.ndarray]] = {}
             for batch, valid in train_loader:
@@ -191,7 +266,7 @@ def compute_pairwise_scores_with_loaders(
             }
 
     # Assemble scores on the host.
-    chunks_per_block = [train_pass(query_block) for query_block in query_blocks_iter]
+    chunks_per_block = [train_pass(query_block) for query_block in query_blocks_iter()]
 
     result: Dict[str, np.ndarray] = {}
     for key in chunks_per_block[0]:
@@ -203,7 +278,7 @@ def compute_pairwise_scores_with_loaders(
 
 
 def _aggregated_train_pass(
-    model, task, params, train_loader, score_args, tracked_names, mesh,
+    model, task, params, train_loader, score_args, tracked, tkey, mesh,
     per_module, query_block,
 ):
     """Aggregated-train variant: one summed train gradient, one contraction
@@ -211,18 +286,11 @@ def _aggregated_train_pass(
     psg_dtype = resolve_dtype(score_args.per_sample_gradient_dtype)
     score_dtype = resolve_dtype(score_args.score_dtype)
 
-    @jax.jit
-    def sum_step(params, batch, valid):
-        forward = train_loss_forward(
-            model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)
-        )
-        _, captures = capture(forward, tracked_names)
-        return {
-            name: jnp.sum(
-                module_per_sample_gradients(cap, valid, psg_dtype, task, name), axis=0
-            )
-            for name, cap in captures.items()
-        }
+    sum_step = cached_step(
+        model,
+        ("sum_grad", id(task), tkey, str(psg_dtype), False),
+        lambda: _build_summed_gradient_step(model, task, tracked, psg_dtype, False),
+    )
 
     total: Dict[str, jax.Array] = {}
     for batch, valid in train_loader:
@@ -253,56 +321,3 @@ def _aggregated_train_pass(
         return {ALL_MODULE_NAME: out}
 
     return {k: np.asarray(v) for k, v in contract(query_block, total).items()}
-
-
-def _per_sample_query_blocks(query_step, params, query_loader, score_args, mesh):
-    """Yields accumulated preconditioned query-gradient blocks."""
-    pending = []
-    accumulation = score_args.query_gradient_accumulation_steps
-    rng = jax.random.PRNGKey(0)
-    for idx, (batch, valid) in enumerate(query_loader):
-        batch = shard_batch(mesh, batch)
-        valid_dev = shard_batch(mesh, valid)
-        pending.append(query_step(params, batch, valid_dev, jax.random.fold_in(rng, idx)))
-        if len(pending) == accumulation:
-            yield _concat_blocks(pending)
-            pending = []
-    if pending:
-        yield _concat_blocks(pending)
-
-
-def _aggregated_query_blocks(
-    model, task, params, query_loader, score_args, strategy_config,
-    precondition_states, tracked_names, mesh,
-):
-    """Sums query gradients over the whole query set, preconditions once
-    (reference: tracker/gradient.py + precondition.py:242-255)."""
-    psg_dtype = resolve_dtype(score_args.per_sample_gradient_dtype)
-    precond_dtype = resolve_dtype(score_args.precondition_dtype)
-    score_dtype = resolve_dtype(score_args.score_dtype)
-
-    @jax.jit
-    def sum_step(params, batch, valid):
-        forward = measurement_forward(model, task, params, batch)
-        _, captures = capture(forward, tracked_names)
-        return {
-            name: jnp.sum(
-                module_per_sample_gradients(cap, valid, psg_dtype, task, name), axis=0
-            )
-            for name, cap in captures.items()
-        }
-
-    total: Dict[str, jax.Array] = {}
-    for batch, valid in query_loader:
-        batch = shard_batch(mesh, batch)
-        valid_dev = shard_batch(mesh, valid)
-        contrib = sum_step(params, batch, valid_dev)
-        for name, val in contrib.items():
-            total[name] = val if name not in total else total[name] + val
-    block = {}
-    for name, summed in total.items():
-        pg = strategy_config.precondition(
-            summed[None].astype(precond_dtype), precondition_states[name]
-        )
-        block[name] = pg.astype(score_dtype)
-    yield block

@@ -28,6 +28,7 @@ from kronfluence_tpu.score.common import (
 from kronfluence_tpu.task import Task
 from kronfluence_tpu.utils.constants import ALL_MODULE_NAME
 from kronfluence_tpu.utils.dtypes import resolve_dtype
+from kronfluence_tpu.utils.jit_cache import cached_step, tracked_key
 
 
 def compute_self_scores_with_loaders(
@@ -57,45 +58,60 @@ def compute_self_scores_with_loaders(
     precondition_states = prepare_precondition_states(
         factors, factor_args.strategy, score_args, sorted(specs)
     )
+    tkey = tracked_key(tracked_names)
+    tracked = list(tkey) if tkey is not None else None
 
-    @jax.jit
-    def step(params, batch, valid):
-        loss_forward = train_loss_forward(
-            model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)
-        )
-        _, loss_caps = capture(loss_forward, tracked_names)
-        if use_measurement:
-            _, meas_caps = capture(
-                measurement_forward(model, task, params, batch), tracked_names
+    def build_step():
+        @jax.jit
+        def step(params, batch, valid, precondition_states):
+            loss_forward = train_loss_forward(
+                model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)
             )
-        per_module_scores = {}
-        for name, cap in loss_caps.items():
-            loss_psg = module_per_sample_gradients(cap, valid, psg_dtype, task, name)
-            src = meas_caps[name] if use_measurement else cap
-            src_psg = (
-                module_per_sample_gradients(src, valid, psg_dtype, task, name)
-                if use_measurement
-                else loss_psg
-            )
-            preconditioned = strategy_config.precondition(
-                src_psg.astype(precond_dtype), precondition_states[name]
-            )
-            score = jnp.einsum(
-                "boi,boi->b", preconditioned.astype(psg_dtype), loss_psg
-            ).astype(score_dtype)
-            per_module_scores[name] = score
-        if per_module:
-            return per_module_scores
-        total = None
-        for score in per_module_scores.values():
-            total = score if total is None else total + score
-        return {ALL_MODULE_NAME: total}
+            _, loss_caps = capture(loss_forward, tracked)
+            if use_measurement:
+                _, meas_caps = capture(
+                    measurement_forward(model, task, params, batch), tracked
+                )
+            per_module_scores = {}
+            for name, cap in loss_caps.items():
+                loss_psg = module_per_sample_gradients(cap, valid, psg_dtype, task, name)
+                src_psg = (
+                    module_per_sample_gradients(
+                        meas_caps[name], valid, psg_dtype, task, name
+                    )
+                    if use_measurement
+                    else loss_psg
+                )
+                preconditioned = strategy_config.precondition(
+                    src_psg.astype(precond_dtype), precondition_states[name]
+                )
+                score = jnp.einsum(
+                    "boi,boi->b", preconditioned.astype(psg_dtype), loss_psg
+                ).astype(score_dtype)
+                per_module_scores[name] = score
+            if per_module:
+                return per_module_scores
+            total = None
+            for score in per_module_scores.values():
+                total = score if total is None else total + score
+            return {ALL_MODULE_NAME: total}
+
+        return step
+
+    step = cached_step(
+        model,
+        (
+            "self", id(task), tkey, tuple(sorted(score_args.to_str_dict().items())),
+            factor_args.strategy, per_module, use_measurement,
+        ),
+        build_step,
+    )
 
     chunks: Dict[str, List[np.ndarray]] = {}
     for batch, valid in train_loader:
         batch = shard_batch(mesh, batch)
         valid_dev = shard_batch(mesh, valid)
-        scores = step(params, batch, valid_dev)
+        scores = step(params, batch, valid_dev, precondition_states)
         for key, val in scores.items():
             chunks.setdefault(key, []).append(np.asarray(val))
 
