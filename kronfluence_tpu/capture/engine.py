@@ -47,11 +47,19 @@ def capture(
     fn: Callable[[], jax.Array],
     tracked_names: Optional[Sequence[str]] = None,
     require_tracked: bool = True,
+    remat: bool = False,
 ) -> Tuple[jax.Array, CaptureResult]:
     """Runs `fn` (a closure returning a scalar summed loss) with capture.
 
     Returns (loss, {module_name: LayerCapture}). Safe to call inside jit; the
     discovery pass runs abstractly at trace time only.
+
+    With `remat=True` the forward is wrapped in `jax.checkpoint`, so only the
+    captured (activation, output-gradient) pairs survive to the backward pass
+    and every other intermediate is rematerialized. This is the TPU-native
+    replacement for the reference's CPU activation offload
+    (module/tracker/factor.py:239): on TPU, recomputing through the MXU is far
+    cheaper than round-tripping activations over the host link.
     """
     specs, out_shapes = discover_specs(fn, tracked_names)
     if require_tracked and not specs:
@@ -69,6 +77,9 @@ def capture(
         with activate(ctx):
             out = fn()
         return out, ctx.activations
+
+    if remat:
+        inner = jax.checkpoint(inner)
 
     loss, vjp_fn, activations = jax.vjp(inner, probes, has_aux=True)
     if loss.ndim != 0:

@@ -5,9 +5,10 @@ Faithful re-derivation of the reference strategy registry
 
   * a per-strategy boolean requirements matrix drives which artifacts each
     pipeline stage needs;
-  * `prepare` performs the one-time damping + reciprocal on the host in
-    float64 (reference: LAMBDA_DTYPE, config.py:199-208,253-271,322-339),
-    producing an inverse-lambda matrix in the precondition dtype;
+  * `prepare` performs the one-time damping + reciprocal on device (float64
+    under x64 for parity with reference LAMBDA_DTYPE, config.py:199-208,
+    253-271,322-339; float32 on accelerators), producing an inverse-lambda
+    matrix in the precondition dtype;
   * `precondition` applies the damped iHVP `Q_g ((Q_g^T G Q_a) ∘ Λ^-1) Q_a^T`
     on device (config.py:273-285,341-353) — two MXU matmul sandwiches plus an
     elementwise multiply, which XLA fuses.
@@ -105,13 +106,22 @@ class FactorConfig:
         raise NotImplementedError
 
     @staticmethod
-    def _damp_and_invert(
-        lambda_matrix: np.ndarray, damping_factor: Optional[float]
-    ) -> np.ndarray:
-        lam = np.asarray(lambda_matrix, dtype=np.float64)
+    def _damp_and_invert(lambda_matrix, damping_factor: Optional[float]) -> jax.Array:
+        """Damped reciprocal, on device. Runs in float64 when x64 is enabled
+        (parity tests on CPU, matching reference LAMBDA_DTYPE) and float32 on
+        accelerators (which have no fp64 path)."""
+        wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        lam = jnp.asarray(lambda_matrix).astype(wide)
         if damping_factor is None:
-            damping_factor = HEURISTIC_DAMPING_SCALE * float(lam.mean())
-        return np.reciprocal(lam + damping_factor)
+            damping = HEURISTIC_DAMPING_SCALE * jnp.mean(lam)
+        else:
+            damping = damping_factor
+        return jnp.reciprocal(lam + damping)
+
+    @staticmethod
+    def _as_count(value) -> jax.Array:
+        wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        return jnp.asarray(value).reshape(()).astype(wide)
 
 
 class Identity(FactorConfig, strategy="identity"):
@@ -134,10 +144,10 @@ class Diagonal(FactorConfig, strategy="diagonal"):
 
     def prepare(self, factors, damping_factor, precondition_dtype) -> PreconditionState:
         dtype = resolve_dtype(precondition_dtype)
-        lam = np.asarray(factors[LAMBDA_MATRIX_NAME], dtype=np.float64)
-        lam = lam / float(np.asarray(factors[NUM_LAMBDA_PROCESSED]).item())
+        count = self._as_count(factors[NUM_LAMBDA_PROCESSED])
+        lam = jnp.asarray(factors[LAMBDA_MATRIX_NAME]).astype(count.dtype) / count
         inv = self._damp_and_invert(lam, damping_factor)
-        return PreconditionState(inverse_lambda=jnp.asarray(inv, dtype=dtype))
+        return PreconditionState(inverse_lambda=inv.astype(dtype))
 
     def precondition(self, gradient: jax.Array, state: PreconditionState) -> jax.Array:
         return gradient * state.inverse_lambda.astype(gradient.dtype)
@@ -164,18 +174,19 @@ class Kfac(_EigenbasisSandwich, strategy="kfac"):
 
     def prepare(self, factors, damping_factor, precondition_dtype) -> PreconditionState:
         dtype = resolve_dtype(precondition_dtype)
-        act_ev = np.asarray(factors[ACTIVATION_EIGENVALUES_NAME], dtype=np.float64)
-        grad_ev = np.asarray(factors[GRADIENT_EIGENVALUES_NAME], dtype=np.float64)
-        lam = np.outer(grad_ev, act_ev)  # (out_dim, in_dim[+1])
+        wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        act_ev = jnp.asarray(factors[ACTIVATION_EIGENVALUES_NAME]).astype(wide)
+        grad_ev = jnp.asarray(factors[GRADIENT_EIGENVALUES_NAME]).astype(wide)
+        lam = jnp.outer(grad_ev, act_ev)  # (out_dim, in_dim[+1])
         inv = self._damp_and_invert(lam, damping_factor)
         return PreconditionState(
-            inverse_lambda=jnp.asarray(inv, dtype=dtype),
+            inverse_lambda=inv.astype(dtype),
             activation_eigenvectors=jnp.asarray(
-                factors[ACTIVATION_EIGENVECTORS_NAME], dtype=dtype
-            ),
+                factors[ACTIVATION_EIGENVECTORS_NAME]
+            ).astype(dtype),
             gradient_eigenvectors=jnp.asarray(
-                factors[GRADIENT_EIGENVECTORS_NAME], dtype=dtype
-            ),
+                factors[GRADIENT_EIGENVECTORS_NAME]
+            ).astype(dtype),
         )
 
 
@@ -191,17 +202,17 @@ class Ekfac(_EigenbasisSandwich, strategy="ekfac"):
 
     def prepare(self, factors, damping_factor, precondition_dtype) -> PreconditionState:
         dtype = resolve_dtype(precondition_dtype)
-        lam = np.asarray(factors[LAMBDA_MATRIX_NAME], dtype=np.float64)
-        lam = lam / float(np.asarray(factors[NUM_LAMBDA_PROCESSED]).item())
+        count = self._as_count(factors[NUM_LAMBDA_PROCESSED])
+        lam = jnp.asarray(factors[LAMBDA_MATRIX_NAME]).astype(count.dtype) / count
         inv = self._damp_and_invert(lam, damping_factor)
         return PreconditionState(
-            inverse_lambda=jnp.asarray(inv, dtype=dtype),
+            inverse_lambda=inv.astype(dtype),
             activation_eigenvectors=jnp.asarray(
-                factors[ACTIVATION_EIGENVECTORS_NAME], dtype=dtype
-            ),
+                factors[ACTIVATION_EIGENVECTORS_NAME]
+            ).astype(dtype),
             gradient_eigenvectors=jnp.asarray(
-                factors[GRADIENT_EIGENVECTORS_NAME], dtype=dtype
-            ),
+                factors[GRADIENT_EIGENVECTORS_NAME]
+            ).astype(dtype),
         )
 
 

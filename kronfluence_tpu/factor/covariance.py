@@ -41,6 +41,19 @@ def _attention_mask_for(module_name: str, masks: Any) -> Optional[jax.Array]:
     return masks
 
 
+def cast_params(params: Any, amp_dtype: Any) -> Any:
+    """Autocast analogue: casts floating params to `amp_dtype` for the model
+    forward/backward (reference: torch.autocast in factor/covariance.py:218).
+    Factor/score accumulation dtypes are controlled separately."""
+    if amp_dtype is None:
+        return params
+    dtype = resolve_dtype(amp_dtype)
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )
+
+
 def train_loss_forward(
     model: PreparedModel,
     task: Task,
@@ -71,7 +84,10 @@ def discover_stage_specs(
     return specs
 
 
-def _build_covariance_step(model, task, tracked_key_, act_dtype, grad_dtype, sample, mesh):
+def _build_covariance_step(
+    model, task, tracked_key_, act_dtype, grad_dtype, sample, mesh,
+    amp_dtype=None, remat=False,
+):
     act_accum = accumulation_dtype(act_dtype)
     grad_accum = accumulation_dtype(grad_dtype)
     tracked = list(tracked_key_) if tracked_key_ is not None else None
@@ -79,8 +95,9 @@ def _build_covariance_step(model, task, tracked_key_, act_dtype, grad_dtype, sam
 
     @partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)
     def step(state, params, batch, valid, rng):
+        params = cast_params(params, amp_dtype)
         forward = train_loss_forward(model, task, params, batch, sample, rng)
-        _, captures = capture(forward, tracked)
+        _, captures = capture(forward, tracked, remat=remat)
         masks = task.get_attention_mask(batch)
         for name, cap in captures.items():
             spec = cap.spec
@@ -146,11 +163,18 @@ def fit_covariance_matrices_with_loader(
         # replicated output buffers.
         state = jax.device_put(state, replicated(mesh))
 
+    amp_dtype = factor_args.amp_dtype
+    remat = factor_args.offload_activations_to_cpu
     tkey = tracked_key(tracked_names)
     step = cached_step(
         model,
-        ("covariance", id(task), tkey, str(act_dtype), str(grad_dtype), sample, mesh),
-        lambda: _build_covariance_step(model, task, tkey, act_dtype, grad_dtype, sample, mesh),
+        (
+            "covariance", model.task_key(task), tkey, str(act_dtype), str(grad_dtype),
+            sample, mesh, str(amp_dtype), remat,
+        ),
+        lambda: _build_covariance_step(
+            model, task, tkey, act_dtype, grad_dtype, sample, mesh, amp_dtype, remat
+        ),
     )
 
     step_idx = 0
@@ -169,25 +193,28 @@ def fit_covariance_matrices_with_loader(
 
     jax.block_until_ready(state)
 
-    # Assemble the on-disk factor dict (factor_name -> module -> tensor) in the
-    # requested artifact dtypes; counts as int64 singletons matching reference.
-    result: Dict[str, Dict[str, np.ndarray]] = {
+    # Assemble the factor dict (factor_name -> module -> array) in the
+    # requested artifact dtypes. Results stay ON DEVICE: the eigendecomposition
+    # and lambda stages consume them in place, and the host<->device link is
+    # the scarcest resource on tunneled TPU backends (~50 MB/s here). The save
+    # path (`factor/io.py`) bulk-fetches to host when persisting.
+    result: Dict[str, Dict[str, Any]] = {
         ACTIVATION_COVARIANCE_MATRIX_NAME: {},
         GRADIENT_COVARIANCE_MATRIX_NAME: {},
         NUM_ACTIVATION_COVARIANCE_PROCESSED: {},
         NUM_GRADIENT_COVARIANCE_PROCESSED: {},
     }
     for name, mod_state in state.items():
-        result[ACTIVATION_COVARIANCE_MATRIX_NAME][name] = np.asarray(
-            mod_state[ACTIVATION_COVARIANCE_MATRIX_NAME].astype(act_dtype)
-        )
-        result[GRADIENT_COVARIANCE_MATRIX_NAME][name] = np.asarray(
-            mod_state[GRADIENT_COVARIANCE_MATRIX_NAME].astype(grad_dtype)
-        )
-        result[NUM_ACTIVATION_COVARIANCE_PROCESSED][name] = np.asarray(
-            [int(mod_state[NUM_ACTIVATION_COVARIANCE_PROCESSED])], dtype=np.int64
-        )
-        result[NUM_GRADIENT_COVARIANCE_PROCESSED][name] = np.asarray(
-            [int(mod_state[NUM_GRADIENT_COVARIANCE_PROCESSED])], dtype=np.int64
-        )
+        result[ACTIVATION_COVARIANCE_MATRIX_NAME][name] = mod_state[
+            ACTIVATION_COVARIANCE_MATRIX_NAME
+        ].astype(act_dtype)
+        result[GRADIENT_COVARIANCE_MATRIX_NAME][name] = mod_state[
+            GRADIENT_COVARIANCE_MATRIX_NAME
+        ].astype(grad_dtype)
+        result[NUM_ACTIVATION_COVARIANCE_PROCESSED][name] = mod_state[
+            NUM_ACTIVATION_COVARIANCE_PROCESSED
+        ].reshape((1,))
+        result[NUM_GRADIENT_COVARIANCE_PROCESSED][name] = mod_state[
+            NUM_GRADIENT_COVARIANCE_PROCESSED
+        ].reshape((1,))
     return result

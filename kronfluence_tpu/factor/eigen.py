@@ -3,10 +3,10 @@
 Redesign of reference kronfluence/factor/eigen.py:140-462:
 
   * `perform_eigendecomposition` — normalized, symmetrized `eigh` per factor.
-    float64 runs on the host (LAPACK); TPUs have no fast fp64 path, and the
-    eigh stage is <1% of end-to-end time in the reference's own profiles
-    (BASELINE.md), so host fp64 preserves the reference's numerics exactly.
-    float32 requests run on-device via `jnp.linalg.eigh`.
+    float32 (the production TPU path) runs fully on device via the custom
+    blocked Jacobi solver (ops/eigh.py — stock `jnp.linalg.eigh`'s QDWH
+    compiles for minutes per shape); float64 runs on the host (LAPACK) to
+    preserve the reference's fp64 numerics exactly for parity testing.
 
   * `fit_lambda_matrices_with_loader` — accumulates
     `Λ += Σ_b (Q_g^T g_b Q_a)^2` (reference: module/tracker/factor.py:204-230).
@@ -28,7 +28,7 @@ import numpy as np
 from kronfluence_tpu.arguments import FactorArguments
 from kronfluence_tpu.capture.engine import capture
 from kronfluence_tpu.factor.config import get_factor_config
-from kronfluence_tpu.factor.covariance import train_loss_forward
+from kronfluence_tpu.factor.covariance import cast_params, train_loss_forward
 from kronfluence_tpu.ops.covariance import per_sample_gradient as psg_op
 from kronfluence_tpu.ops.flatten import activation_tokens_with_bias, gradient_tokens
 from kronfluence_tpu.parallel.mesh import replicated, shard_batch
@@ -50,34 +50,75 @@ from kronfluence_tpu.utils.dtypes import accumulation_dtype, canonical_dtype_nam
 from kronfluence_tpu.utils.exceptions import FactorsNotFoundError
 
 
-@partial(jax.jit, static_argnums=())
-def _device_eigh_batched(matrices: jax.Array):
-    return jnp.linalg.eigh(matrices)
+@jax.jit
+def _normalize_stacked(stacked: jax.Array, counts: jax.Array) -> jax.Array:
+    mats = stacked.astype(jnp.float32) / counts[:, None, None].astype(jnp.float32)
+    return 0.5 * (mats + mats.transpose(0, 2, 1))
 
 
-def _eigh_grouped(matrices: Dict[str, np.ndarray], dtype_name: str):
-    """eigh for a {key: (d, d)} dict, batching same-dimension matrices.
+_FACTOR_PAIRS = (
+    (
+        ACTIVATION_COVARIANCE_MATRIX_NAME,
+        NUM_ACTIVATION_COVARIANCE_PROCESSED,
+        ACTIVATION_EIGENVECTORS_NAME,
+        ACTIVATION_EIGENVALUES_NAME,
+    ),
+    (
+        GRADIENT_COVARIANCE_MATRIX_NAME,
+        NUM_GRADIENT_COVARIANCE_PROCESSED,
+        GRADIENT_EIGENVECTORS_NAME,
+        GRADIENT_EIGENVALUES_NAME,
+    ),
+)
 
-    float32 runs on-device (TPU QDWH-eig) with all same-shape factors stacked
-    into one batched call; float64 runs on the host (LAPACK) to preserve the
-    reference's numerics (TPUs have no fp64 path)."""
-    results = {}
-    if dtype_name == "float32":
+
+def _device_eigendecomposition(covariance_factors, eigen_factors) -> None:
+    """fp32 on-device path: normalization, symmetrization, and the blocked
+    Jacobi eigensolver (ops/eigh.py) all run on the accelerator, batched over
+    same-dimension factor matrices; nothing round-trips to the host."""
+    from kronfluence_tpu.ops.eigh import eigh_batched
+
+    for cov_name, count_name, evec_name, eval_name in _FACTOR_PAIRS:
         groups: Dict[int, list] = {}
-        for key, mat in matrices.items():
-            groups.setdefault(mat.shape[0], []).append(key)
-        for dim, keys in groups.items():
-            stacked = jnp.asarray(
-                np.stack([matrices[k] for k in keys]), dtype=jnp.float32
+        for module_name, mat in covariance_factors[cov_name].items():
+            groups.setdefault(mat.shape[0], []).append(module_name)
+        for dim, names in groups.items():
+            stacked = jnp.stack(
+                [jnp.asarray(covariance_factors[cov_name][n]) for n in names]
             )
-            evals, evecs = _device_eigh_batched(stacked)
-            evals, evecs = np.asarray(evals), np.asarray(evecs)
-            for i, key in enumerate(keys):
-                results[key] = (evals[i], evecs[i])
-        return results
-    for key, mat in matrices.items():
-        results[key] = np.linalg.eigh(np.asarray(mat, dtype=np.dtype(dtype_name)))
-    return results
+            counts = jnp.stack(
+                [
+                    jnp.asarray(covariance_factors[count_name][n]).reshape(()).astype(jnp.float32)
+                    for n in names
+                ]
+            )
+            normalized = _normalize_stacked(stacked, counts)
+            evals, evecs = eigh_batched(normalized)
+            out_dtype = stacked.dtype
+            for i, module_name in enumerate(names):
+                eigen_factors[eval_name][module_name] = evals[i].astype(out_dtype)
+                eigen_factors[evec_name][module_name] = evecs[i].astype(out_dtype)
+
+
+def _host_eigendecomposition(covariance_factors, eigen_factors, dtype_name) -> None:
+    """fp64 host path (LAPACK): preserves the reference's float64 numerics
+    exactly (reference: factor/eigen.py:193-213); used by the parity tests."""
+    from kronfluence_tpu.utils.platform import fetch_tree
+
+    host_factors = fetch_tree(covariance_factors)
+    for cov_name, count_name, evec_name, eval_name in _FACTOR_PAIRS:
+        for module_name, original in host_factors[cov_name].items():
+            count = float(np.asarray(host_factors[count_name][module_name]).item())
+            matrix = np.asarray(original, dtype=np.dtype(dtype_name)) / count
+            matrix = 0.5 * (matrix + matrix.T)
+            evals, evecs = np.linalg.eigh(matrix)
+            dtype = original.dtype
+            eigen_factors[eval_name][module_name] = np.ascontiguousarray(
+                evals.astype(dtype)
+            )
+            eigen_factors[evec_name][module_name] = np.ascontiguousarray(
+                evecs.astype(dtype)
+            )
 
 
 def perform_eigendecomposition(
@@ -85,10 +126,14 @@ def perform_eigendecomposition(
     factor_args: Optional[FactorArguments] = None,
     profiler=None,
 ) -> Dict[str, Dict[str, np.ndarray]]:
-    """Eigendecomposes both covariance factors of every module."""
+    """Eigendecomposes both covariance factors of every module.
+
+    float32 (production TPU path) runs entirely on device via the blocked
+    Jacobi solver; float64 matches the reference's host LAPACK numerics.
+    """
     factor_args = factor_args or FactorArguments()
     dtype_name = canonical_dtype_name(factor_args.eigendecomposition_dtype)
-    eigen_factors: Dict[str, Dict[str, np.ndarray]] = {
+    eigen_factors: Dict[str, Dict[str, Any]] = {
         name: {}
         for name in (
             ACTIVATION_EIGENVECTORS_NAME,
@@ -97,45 +142,42 @@ def perform_eigendecomposition(
             GRADIENT_EIGENVALUES_NAME,
         )
     }
-    for cov_name, count_name, evec_name, eval_name in (
-        (
-            ACTIVATION_COVARIANCE_MATRIX_NAME,
-            NUM_ACTIVATION_COVARIANCE_PROCESSED,
-            ACTIVATION_EIGENVECTORS_NAME,
-            ACTIVATION_EIGENVALUES_NAME,
-        ),
-        (
-            GRADIENT_COVARIANCE_MATRIX_NAME,
-            NUM_GRADIENT_COVARIANCE_PROCESSED,
-            GRADIENT_EIGENVECTORS_NAME,
-            GRADIENT_EIGENVALUES_NAME,
-        ),
-    ):
-        normalized = {}
-        original_dtypes = {}
-        for module_name, original in covariance_factors[cov_name].items():
-            original_dtypes[module_name] = original.dtype
-            count = float(np.asarray(covariance_factors[count_name][module_name]).item())
-            matrix = np.asarray(original, dtype=np.float64) / count
-            normalized[module_name] = 0.5 * (matrix + matrix.T)
-        for module_name, (evals, evecs) in _eigh_grouped(normalized, dtype_name).items():
-            dtype = original_dtypes[module_name]
-            eigen_factors[eval_name][module_name] = np.ascontiguousarray(
-                evals.astype(dtype)
-            )
-            eigen_factors[evec_name][module_name] = np.ascontiguousarray(
-                evecs.astype(dtype)
-            )
+    if dtype_name == "float32" and jax.default_backend() != "cpu":
+        _device_eigendecomposition(covariance_factors, eigen_factors)
+    else:
+        _host_eigendecomposition(covariance_factors, eigen_factors, dtype_name)
     return eigen_factors
 
 
 def _build_lambda_step(
-    model, task, tracked_key_, psg_dtype, lambda_dtype, sample, mesh, use_eigenbasis
+    model, task, tracked_key_, psg_dtype, lambda_dtype, sample, mesh, use_eigenbasis,
+    iterative, remat, amp_dtype=None,
 ):
     lambda_accum = accumulation_dtype(lambda_dtype)
     tracked = list(tracked_key_) if tracked_key_ is not None else None
     post_process = task.enable_post_process_per_sample_gradient
     out_shardings = replicated(mesh) if mesh is not None else None
+
+    def _squared_psg_sum(a_tok, g_tok):
+        """Σ_b (per-sample grad)^2 from rotated token streams.
+
+        With `iterative` (reference: use_iterative_lambda_aggregation,
+        module/tracker/factor.py:204-230) samples are processed one at a time
+        under `lax.scan`, so only a single (out_dim, in_dim) gradient is ever
+        materialized — the memory-bounded path for Llama-scale layers.
+        """
+        if not iterative:
+            psg = psg_op(a_tok, g_tok, lambda_dtype)
+            return jnp.sum(jnp.square(psg), axis=0).astype(lambda_accum)
+
+        def body(acc, xs):
+            a_one, g_one = xs
+            psg = psg_op(a_one[None], g_one[None], lambda_dtype)[0]
+            return acc + jnp.square(psg).astype(lambda_accum), None
+
+        init = jnp.zeros((g_tok.shape[-1], a_tok.shape[-1]), lambda_accum)
+        acc, _ = jax.lax.scan(body, init, (a_tok, g_tok))
+        return acc
 
     def _lambda_contribution(spec, name, activations, output_gradients, valid, q_a, q_g):
         """Σ_b (projected per-sample grad)^2 for one module, one batch."""
@@ -169,15 +211,15 @@ def _build_lambda_step(
             if use_eigenbasis:
                 a_tok = jnp.matmul(a_tok, q_a, preferred_element_type=psg_dtype)
                 g_tok = jnp.matmul(g_tok, q_g, preferred_element_type=psg_dtype)
-            psg = psg_op(a_tok, g_tok, lambda_dtype)
-            contrib = jnp.sum(jnp.square(psg), axis=0).astype(lambda_accum)
+            contrib = _squared_psg_sum(a_tok, g_tok)
             total = contrib if total is None else total + contrib
         return total
 
     @partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)
     def step(state, params, batch, valid, rng, q_a_all, q_g_all):
+        params = cast_params(params, amp_dtype)
         forward = train_loss_forward(model, task, params, batch, sample, rng)
-        _, captures = capture(forward, tracked)
+        _, captures = capture(forward, tracked, remat=remat)
         num_valid = jnp.sum(valid.astype(jnp.int32))
         for name, cap in captures.items():
             state[name][LAMBDA_MATRIX_NAME] += _lambda_contribution(
@@ -253,15 +295,19 @@ def fit_lambda_matrices_with_loader(
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
 
+    iterative = factor_args.use_iterative_lambda_aggregation
+    remat = factor_args.offload_activations_to_cpu
+    amp_dtype = factor_args.amp_dtype
     tkey = tracked_key(tracked_names)
     step = cached_step(
         model,
         (
-            "lambda", id(task), tkey, str(psg_dtype), str(lambda_dtype),
-            sample, mesh, use_eigenbasis,
+            "lambda", model.task_key(task), tkey, str(psg_dtype), str(lambda_dtype),
+            sample, mesh, use_eigenbasis, iterative, remat, str(amp_dtype),
         ),
         lambda: _build_lambda_step(
-            model, task, tkey, psg_dtype, lambda_dtype, sample, mesh, use_eigenbasis
+            model, task, tkey, psg_dtype, lambda_dtype, sample, mesh, use_eigenbasis,
+            iterative, remat, amp_dtype,
         ),
     )
 
@@ -280,12 +326,9 @@ def fit_lambda_matrices_with_loader(
         run_batch(batch, valid)
     jax.block_until_ready(state)
 
-    result: Dict[str, Dict[str, np.ndarray]] = {LAMBDA_MATRIX_NAME: {}, NUM_LAMBDA_PROCESSED: {}}
+    # Device-resident results; the save path bulk-fetches when persisting.
+    result: Dict[str, Dict[str, Any]] = {LAMBDA_MATRIX_NAME: {}, NUM_LAMBDA_PROCESSED: {}}
     for name, mod_state in state.items():
-        result[LAMBDA_MATRIX_NAME][name] = np.asarray(
-            mod_state[LAMBDA_MATRIX_NAME].astype(lambda_dtype)
-        )
-        result[NUM_LAMBDA_PROCESSED][name] = np.asarray(
-            [int(mod_state[NUM_LAMBDA_PROCESSED])], dtype=np.int64
-        )
+        result[LAMBDA_MATRIX_NAME][name] = mod_state[LAMBDA_MATRIX_NAME].astype(lambda_dtype)
+        result[NUM_LAMBDA_PROCESSED][name] = mod_state[NUM_LAMBDA_PROCESSED].reshape((1,))
     return result

@@ -51,9 +51,21 @@ class PreparedModel:
         self.apply_fn = apply_fn
         self.tracked_names = list(tracked_names) if tracked_names is not None else None
         self.module = module
+        self._task_tokens: dict = {}
 
     def bind(self, params: Any) -> BoundModel:
         return BoundModel(self.apply_fn, params)
+
+    def task_key(self, task: Any) -> int:
+        """Stable jit-cache token for a task instance.
+
+        `id(task)` alone is unsafe: ids of garbage-collected objects are
+        reused, which could hand a new task a stale compiled step. Keeping a
+        strong reference per token pins the id for the model's lifetime.
+        """
+        token = id(task)
+        self._task_tokens[token] = task
+        return token
 
     def discover(self, params: Any, *example_args: Any, **example_kwargs: Any):
         """Returns {name: LayerSpec} for tracked layers on example inputs."""

@@ -29,7 +29,7 @@ import numpy as np
 from kronfluence_tpu.arguments import FactorArguments, ScoreArguments
 from kronfluence_tpu.capture.engine import capture
 from kronfluence_tpu.factor.config import get_factor_config
-from kronfluence_tpu.factor.covariance import discover_stage_specs, train_loss_forward
+from kronfluence_tpu.factor.covariance import cast_params, discover_stage_specs, train_loss_forward
 from kronfluence_tpu.ops.flatten import activation_tokens_with_bias, gradient_tokens
 from kronfluence_tpu.ops.scores import pairwise_score
 from kronfluence_tpu.ops.svd import lowrank_factors_full, lowrank_factors_randomized
@@ -44,6 +44,7 @@ from kronfluence_tpu.task import Task
 from kronfluence_tpu.utils.constants import ALL_MODULE_NAME
 from kronfluence_tpu.utils.dtypes import resolve_dtype
 from kronfluence_tpu.utils.jit_cache import cached_step, tracked_key
+from kronfluence_tpu.utils.platform import fetch_tree
 
 
 def _score_args_key(score_args: ScoreArguments):
@@ -61,10 +62,14 @@ def _build_query_step(model, task, tracked, score_args, strategy):
     rank = score_args.query_gradient_low_rank
     use_full_svd = score_args.use_full_svd
 
+    amp_dtype = score_args.amp_dtype
+    remat = score_args.offload_activations_to_cpu
+
     @jax.jit
     def query_step(params, batch, valid, rng, precondition_states):
+        params = cast_params(params, amp_dtype)
         forward = measurement_forward(model, task, params, batch)
-        _, captures = capture(forward, tracked)
+        _, captures = capture(forward, tracked, remat=remat)
         out = {}
         for name, cap in captures.items():
             psg = module_per_sample_gradients(cap, valid, psg_dtype, task, name)
@@ -89,23 +94,35 @@ def _build_train_step(model, task, tracked, score_args, per_module):
     score_dtype = resolve_dtype(score_args.score_dtype)
     per_token = score_args.compute_per_token_scores
     post_process = task.enable_post_process_per_sample_gradient
+    amp_dtype = score_args.amp_dtype
+    remat = score_args.offload_activations_to_cpu
 
     @jax.jit
     def train_step(params, batch, valid, query_block):
+        params = cast_params(params, amp_dtype)
         forward = train_loss_forward(
             model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)
         )
-        _, captures = capture(forward, tracked)
+        _, captures = capture(forward, tracked, remat=remat)
         per_module_scores = {}
         for name, cap in captures.items():
             pg = query_block[name]
-            if post_process and not isinstance(pg, tuple):
-                # Post-processed gradients need materialized train gradients
-                # (reference: pairwise_score.py:95-103).
+            if post_process:
+                # Post-processed train gradients must be materialized
+                # (reference: pairwise_score.py:95-103), for BOTH dense and
+                # low-rank preconditioned query gradients.
                 train_psg = module_per_sample_gradients(cap, valid, psg_dtype, task, name)
-                score = jnp.einsum(
-                    "qoi,boi->qb", pg.astype(psg_dtype), train_psg
-                ).astype(score_dtype)
+                if isinstance(pg, tuple):
+                    left, right = pg
+                    score = jnp.einsum(
+                        "qor,qri,boi->qb",
+                        left.astype(psg_dtype), right.astype(psg_dtype), train_psg,
+                        optimize="optimal",
+                    ).astype(score_dtype)
+                else:
+                    score = jnp.einsum(
+                        "qoi,boi->qb", pg.astype(psg_dtype), train_psg
+                    ).astype(score_dtype)
             else:
                 score = None
                 for a, dy in zip(cap.activations, cap.output_gradients):
@@ -124,19 +141,25 @@ def _build_train_step(model, task, tracked, score_args, per_module):
     return train_step
 
 
-def _build_summed_gradient_step(model, task, tracked, psg_dtype, use_measurement):
+def _build_summed_gradient_step(
+    model, task, tracked, psg_dtype, use_measurement, amp_dtype=None, remat=False
+):
     @jax.jit
     def sum_step(params, batch, valid):
+        params = cast_params(params, amp_dtype)
         if use_measurement:
             forward = measurement_forward(model, task, params, batch)
         else:
             forward = train_loss_forward(
                 model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)
             )
-        _, captures = capture(forward, tracked)
+        _, captures = capture(forward, tracked, remat=remat)
+        # Aggregated gradients sum RAW per-sample gradients: the reference's
+        # compute_summed_gradient never applies the task's post-process fnc
+        # (module/tracker/gradient.py:36-61), so `task` is not passed here.
         return {
             name: jnp.sum(
-                module_per_sample_gradients(cap, valid, psg_dtype, task, name), axis=0
+                module_per_sample_gradients(cap, valid, psg_dtype), axis=0
             )
             for name, cap in captures.items()
         }
@@ -197,8 +220,14 @@ def compute_pairwise_scores_with_loaders(
         def query_blocks_iter():
             sum_step = cached_step(
                 model,
-                ("sum_grad", id(task), tkey, str(psg_dtype), True),
-                lambda: _build_summed_gradient_step(model, task, tracked, psg_dtype, True),
+                (
+                    "sum_grad", model.task_key(task), tkey, str(psg_dtype), True,
+                    str(score_args.amp_dtype), score_args.offload_activations_to_cpu,
+                ),
+                lambda: _build_summed_gradient_step(
+                    model, task, tracked, psg_dtype, True,
+                    score_args.amp_dtype, score_args.offload_activations_to_cpu,
+                ),
             )
             total: Dict[str, jax.Array] = {}
             for batch, valid in query_loader:
@@ -218,7 +247,7 @@ def compute_pairwise_scores_with_loaders(
         def query_blocks_iter():
             query_step = cached_step(
                 model,
-                ("pairwise_query", id(task), tkey, args_key, factor_args.strategy),
+                ("pairwise_query", model.task_key(task), tkey, args_key, factor_args.strategy),
                 lambda: _build_query_step(model, task, tracked, score_args, factor_args.strategy),
             )
             pending = []
@@ -248,18 +277,22 @@ def compute_pairwise_scores_with_loaders(
     else:
         train_step = cached_step(
             model,
-            ("pairwise_train", id(task), tkey, args_key, per_module),
+            ("pairwise_train", model.task_key(task), tkey, args_key, per_module),
             lambda: _build_train_step(model, task, tracked, score_args, per_module),
         )
 
         def train_pass(query_block):
-            module_chunks: Dict[str, List[np.ndarray]] = {}
+            # Score chunks stay on device across the whole train pass so the
+            # dispatch loop pipelines; one bulk fetch at the end (per-batch
+            # np.asarray would serialize on the host link round-trip).
+            module_chunks: Dict[str, List[Any]] = {}
             for batch, valid in train_loader:
                 batch = shard_batch(mesh, batch)
                 valid_dev = shard_batch(mesh, valid)
                 scores = train_step(params, batch, valid_dev, query_block)
                 for key, val in scores.items():
-                    module_chunks.setdefault(key, []).append(np.asarray(val))
+                    module_chunks.setdefault(key, []).append(val)
+            module_chunks = fetch_tree(module_chunks)
             return {
                 key: np.concatenate(chunks, axis=1)[:, : train_loader.num_examples]
                 for key, chunks in module_chunks.items()
@@ -288,8 +321,14 @@ def _aggregated_train_pass(
 
     sum_step = cached_step(
         model,
-        ("sum_grad", id(task), tkey, str(psg_dtype), False),
-        lambda: _build_summed_gradient_step(model, task, tracked, psg_dtype, False),
+        (
+            "sum_grad", model.task_key(task), tkey, str(psg_dtype), False,
+            str(score_args.amp_dtype), score_args.offload_activations_to_cpu,
+        ),
+        lambda: _build_summed_gradient_step(
+            model, task, tracked, psg_dtype, False,
+            score_args.amp_dtype, score_args.offload_activations_to_cpu,
+        ),
     )
 
     total: Dict[str, jax.Array] = {}

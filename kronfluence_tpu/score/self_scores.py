@@ -17,7 +17,7 @@ import numpy as np
 from kronfluence_tpu.arguments import FactorArguments, ScoreArguments
 from kronfluence_tpu.capture.engine import capture
 from kronfluence_tpu.factor.config import get_factor_config
-from kronfluence_tpu.factor.covariance import discover_stage_specs, train_loss_forward
+from kronfluence_tpu.factor.covariance import cast_params, discover_stage_specs, train_loss_forward
 from kronfluence_tpu.parallel.mesh import shard_batch
 from kronfluence_tpu.prepare import PreparedModel
 from kronfluence_tpu.score.common import (
@@ -29,6 +29,7 @@ from kronfluence_tpu.task import Task
 from kronfluence_tpu.utils.constants import ALL_MODULE_NAME
 from kronfluence_tpu.utils.dtypes import resolve_dtype
 from kronfluence_tpu.utils.jit_cache import cached_step, tracked_key
+from kronfluence_tpu.utils.platform import fetch_tree
 
 
 def compute_self_scores_with_loaders(
@@ -61,16 +62,20 @@ def compute_self_scores_with_loaders(
     tkey = tracked_key(tracked_names)
     tracked = list(tkey) if tkey is not None else None
 
+    amp_dtype = score_args.amp_dtype
+    remat = score_args.offload_activations_to_cpu
+
     def build_step():
         @jax.jit
         def step(params, batch, valid, precondition_states):
+            params = cast_params(params, amp_dtype)
             loss_forward = train_loss_forward(
                 model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)
             )
-            _, loss_caps = capture(loss_forward, tracked)
+            _, loss_caps = capture(loss_forward, tracked, remat=remat)
             if use_measurement:
                 _, meas_caps = capture(
-                    measurement_forward(model, task, params, batch), tracked
+                    measurement_forward(model, task, params, batch), tracked, remat=remat
                 )
             per_module_scores = {}
             for name, cap in loss_caps.items():
@@ -101,19 +106,22 @@ def compute_self_scores_with_loaders(
     step = cached_step(
         model,
         (
-            "self", id(task), tkey, tuple(sorted(score_args.to_str_dict().items())),
-            factor_args.strategy, per_module, use_measurement,
+            "self", model.task_key(task), tkey, tuple(sorted(score_args.to_str_dict().items())),
+            factor_args.strategy, per_module, use_measurement, str(amp_dtype), remat,
         ),
         build_step,
     )
 
-    chunks: Dict[str, List[np.ndarray]] = {}
+    # Device-resident chunks + one bulk fetch: keeps the dispatch loop
+    # pipelined instead of serializing on per-batch host transfers.
+    chunks: Dict[str, List[Any]] = {}
     for batch, valid in train_loader:
         batch = shard_batch(mesh, batch)
         valid_dev = shard_batch(mesh, valid)
         scores = step(params, batch, valid_dev, precondition_states)
         for key, val in scores.items():
-            chunks.setdefault(key, []).append(np.asarray(val))
+            chunks.setdefault(key, []).append(val)
+    chunks = fetch_tree(chunks)
 
     return {
         key: np.concatenate(vals, axis=0)[: train_loader.num_examples]

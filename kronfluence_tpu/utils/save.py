@@ -16,8 +16,18 @@ from safetensors.numpy import save_file as _st_save
 def save_file(tensors: Dict[str, np.ndarray], filename: Path, metadata: Optional[Dict[str, str]] = None) -> None:
     filename = Path(filename)
     filename.parent.mkdir(parents=True, exist_ok=True)
+    from kronfluence_tpu.utils.platform import fetch_tree
+
+    # Device arrays are bulk-fetched (one transfer, not one per leaf).
+    tensors = fetch_tree(tensors)
     # bfloat16 round-trips natively through safetensors via ml_dtypes.
-    arrays = {k: np.ascontiguousarray(np.asarray(v)) for k, v in tensors.items()}
+    arrays = {}
+    for k, v in tensors.items():
+        arr = np.asarray(v)
+        if np.issubdtype(arr.dtype, np.integer):
+            # Counts persist as int64 singletons, matching reference artifacts.
+            arr = arr.reshape((-1,)).astype(np.int64)
+        arrays[k] = np.ascontiguousarray(arr)
     _st_save(arrays, str(filename), metadata=metadata)
 
 
