@@ -8,12 +8,18 @@ steady-state rates, and projects to the full reference workload
 A100 fp32 numbers (BASELINE.md: total 2357 s; score 1888 s; lambda 275 s;
 cov 180 s; eigh 7.8 s).
 
+Measurement protocol: each stage is run once for warmup (XLA compilation —
+cached persistently in .jax_cache, so reruns skip it; the reference's numbers
+likewise exclude cuSOLVER/cuBLAS library initialization) and then timed in
+steady state, forcing completion through a device->host scalar fetch.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 metric is pairwise-score throughput (pairs/sec/chip) and vs_baseline is the
 ratio to the A100 fp32 reference rate on the same (model, seq, modules) math.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -29,16 +35,16 @@ REF_COV_S = 180.0
 REF_EIGH_S = 7.8
 REF_PAIRS_PER_S = REF_QUERY * REF_TRAIN / REF_SCORE_S  # ~1186 pairs/s
 
-# Bench sizes (kept small; rates are steady-state and extrapolated).
+# Bench sizes (steady-state rates, extrapolated to the full workload).
 N_COV = 512
 N_LAMBDA = 256
 N_QUERY = 32
-N_TRAIN = 512
+N_TRAIN = 1024
 SEQ = 512
 COV_BATCH = 16
-LAMBDA_BATCH = 8
+LAMBDA_BATCH = 16
 QUERY_BATCH = 32
-TRAIN_BATCH = 16
+TRAIN_BATCH = 32
 
 
 def log(msg):
@@ -46,10 +52,13 @@ def log(msg):
 
 
 def main():
+    from kronfluence_tpu.utils.platform import enable_persistent_cache
+
+    enable_persistent_cache(os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
     import jax
     import jax.numpy as jnp
 
-    from kronfluence_tpu.arguments import ScoreArguments
     from kronfluence_tpu.factor.covariance import fit_covariance_matrices_with_loader
     from kronfluence_tpu.factor.eigen import (
         fit_lambda_matrices_with_loader,
@@ -117,12 +126,13 @@ def main():
     task = WikitextStyleTask()
     model = prepare_model(module, task)
     t0 = time.time()
-    ids0 = jnp.zeros((1, SEQ), jnp.int32)
-    params = module.init(jax.random.PRNGKey(0), ids0)["params"]
-    params = jax.device_put(params)
+    params = jax.jit(
+        lambda: module.init(jax.random.PRNGKey(0), jnp.zeros((1, SEQ), jnp.int32))[
+            "params"
+        ]
+    )()
+    jax.block_until_ready(params)
     log(f"init params: {time.time() - t0:.1f}s")
-
-    rng = np.random.default_rng(0)
 
     def make_data(n, seed):
         r = np.random.default_rng(seed)
@@ -133,20 +143,24 @@ def main():
 
     factor_args = smart_low_precision_factor_arguments(strategy="ekfac")
     factor_args.use_empirical_fisher = True
-    # On-device batched fp32 eigh: the single-core host cannot run fp64
-    # LAPACK at competitive speed for 3k x 3k factors.
+    # On-device blocked-Jacobi eigensolver (ops/eigh.py).
     factor_args.eigendecomposition_dtype = "float32"
     score_args = smart_low_precision_score_arguments()
 
-    # Jitted steps are cached across fit calls (utils/jit_cache), so a short
-    # warmup call absorbs all compilation and the timed call is pure
-    # steady-state throughput.
+    def force(tree):
+        jax.block_until_ready(tree)
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        float(jnp.sum(jnp.asarray(leaf).astype(jnp.float32)))
+
+    stages = {}
 
     # ---- Stage 1: covariance ----
     t0 = time.time()
-    fit_covariance_matrices_with_loader(
-        model, params, task, BatchLoader(make_data(2 * COV_BATCH, 11), COV_BATCH),
-        factor_args,
+    force(
+        fit_covariance_matrices_with_loader(
+            model, params, task, BatchLoader(make_data(2 * COV_BATCH, 11), COV_BATCH),
+            factor_args,
+        )
     )
     log(f"covariance warmup (compile): {time.time() - t0:.1f}s")
     cov_data = make_data(N_COV, 1)
@@ -154,20 +168,30 @@ def main():
     cov = fit_covariance_matrices_with_loader(
         model, params, task, BatchLoader(cov_data, COV_BATCH), factor_args
     )
-    cov_rate = N_COV / (time.time() - t0)
+    force(cov)
+    stages["cov"] = time.time() - t0
+    cov_rate = N_COV / stages["cov"]
     log(f"covariance steady: {cov_rate:.1f} ex/s")
 
-    # ---- Stage 2: eigendecomposition (on-device fp32, actual dims) ----
+    # ---- Stage 2: eigendecomposition (on-device Jacobi, actual dims) ----
     t0 = time.time()
     eigen = perform_eigendecomposition(cov, factor_args)
-    eigh_s = time.time() - t0
-    log(f"eigendecomposition: {eigh_s:.1f}s")
+    force(eigen)
+    log(f"eigendecomposition warmup (compile): {time.time() - t0:.1f}s")
+    t0 = time.time()
+    eigen = perform_eigendecomposition(cov, factor_args)
+    force(eigen)
+    stages["eigh"] = time.time() - t0
+    log(f"eigendecomposition steady: {stages['eigh']:.1f}s")
 
     # ---- Stage 3: lambda ----
     t0 = time.time()
-    fit_lambda_matrices_with_loader(
-        model, params, task, BatchLoader(make_data(2 * LAMBDA_BATCH, 12), LAMBDA_BATCH),
-        factor_args, eigen_factors=eigen,
+    force(
+        fit_lambda_matrices_with_loader(
+            model, params, task,
+            BatchLoader(make_data(2 * LAMBDA_BATCH, 12), LAMBDA_BATCH),
+            factor_args, eigen_factors=eigen,
+        )
     )
     log(f"lambda warmup (compile): {time.time() - t0:.1f}s")
     lam_data = make_data(N_LAMBDA, 3)
@@ -176,7 +200,9 @@ def main():
         model, params, task, BatchLoader(lam_data, LAMBDA_BATCH), factor_args,
         eigen_factors=eigen,
     )
-    lam_rate = N_LAMBDA / (time.time() - t0)
+    force(lam)
+    stages["lambda"] = time.time() - t0
+    lam_rate = N_LAMBDA / stages["lambda"]
     log(f"lambda steady: {lam_rate:.1f} ex/s")
 
     factors = {**cov, **eigen, **lam}
@@ -198,16 +224,24 @@ def main():
         BatchLoader(query_data, QUERY_BATCH), BatchLoader(train_data, TRAIN_BATCH),
         factors, factor_args, score_args,
     )
-    pairs_rate = (N_QUERY * N_TRAIN) / (time.time() - t0)
+    stages["score"] = time.time() - t0
+    pairs_rate = (N_QUERY * N_TRAIN) / stages["score"]
     log(f"pairwise steady: {pairs_rate:.0f} pairs/s")
 
     # ---- Projection to the full reference workload ----
-    proj_total = (
-        REF_TRAIN / cov_rate
-        + eigh_s
-        + REF_TRAIN / lam_rate
-        + REF_QUERY * REF_TRAIN / pairs_rate
-    )
+    proj = {
+        "cov": REF_TRAIN / cov_rate,
+        "eigh": stages["eigh"],
+        "lambda": REF_TRAIN / lam_rate,
+        "score": REF_QUERY * REF_TRAIN / pairs_rate,
+    }
+    proj_total = sum(proj.values())
+    ref = {"cov": REF_COV_S, "eigh": REF_EIGH_S, "lambda": REF_LAMBDA_S, "score": REF_SCORE_S}
+    log("")
+    log(f"{'stage':<10}{'ours (s)':>10}{'A100 fp32 (s)':>15}{'speedup':>9}")
+    for k in ("cov", "eigh", "lambda", "score"):
+        log(f"{k:<10}{proj[k]:>10.1f}{ref[k]:>15.1f}{ref[k] / proj[k]:>8.1f}x")
+    log(f"{'total':<10}{proj_total:>10.1f}{REF_TOTAL_S:>15.1f}{REF_TOTAL_S / proj_total:>8.1f}x")
     log(
         f"projected GPT-2/WikiText e2e: {proj_total:.0f}s "
         f"(ref fp32 {REF_TOTAL_S:.0f}s -> {REF_TOTAL_S / proj_total:.2f}x; "

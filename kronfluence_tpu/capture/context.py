@@ -93,3 +93,14 @@ def activate(ctx: CaptureContext):
         yield ctx
     finally:
         _tls.ctx = prev
+
+
+@contextlib.contextmanager
+def suppress():
+    """Temporarily disables capture (taps pass through untouched)."""
+    prev = getattr(_tls, "ctx", None)
+    _tls.ctx = None
+    try:
+        yield
+    finally:
+        _tls.ctx = prev

@@ -12,6 +12,7 @@ import logging
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import numpy as np
 
 from kronfluence_tpu.arguments import Arguments, FactorArguments, ScoreArguments
@@ -140,16 +141,56 @@ class Computer:
         per_device_batch_size: Optional[int],
         indices: Optional[Sequence[int]] = None,
         initial_per_device_batch_size_attempt: int = 4096,
+        dataloader_kwargs: Optional[DataLoaderKwargs] = None,
     ) -> BatchLoader:
         total = len(indices) if indices is not None else dataset_length(dataset)
         if per_device_batch_size is None:
-            # No recoverable OOM exists under XLA; instead of the reference's
-            # halving search (utils/dataset.py:66-101) we clamp the initial
-            # attempt to the dataset size. Explicit batch sizes are preferred.
-            per_device_batch_size = max(
-                1, min(initial_per_device_batch_size_attempt, total) // data_axis_size(self.mesh)
+            per_device_batch_size = self._find_executable_batch_size(
+                dataset, total, initial_per_device_batch_size_attempt
             )
-        return BatchLoader(dataset, self.global_batch_size(per_device_batch_size), indices)
+        return BatchLoader(
+            dataset,
+            self.global_batch_size(per_device_batch_size),
+            indices,
+            dataloader_kwargs=dataloader_kwargs or self._dataloader_params,
+        )
+
+    def _find_executable_batch_size(
+        self, dataset: Any, total: int, initial_attempt: int
+    ) -> int:
+        """Analytic executable-batch-size estimate.
+
+        XLA has no recoverable OOM, so the reference's run-and-halve search
+        (utils/dataset.py:66-101) is replaced by a shape-based estimate: the
+        dominant per-sample device cost is the captured activation/gradient
+        token streams plus one materialized per-sample gradient per module.
+        The batch size is chosen so that estimate fits in a fraction of the
+        device memory not already taken by parameters and factor state.
+        """
+        attempt = max(1, min(initial_attempt, total) // data_axis_size(self.mesh))
+        try:
+            specs = self._layer_specs(dataset)
+            bytes_per_example = 0
+            for spec in specs.values():
+                d_in, d_out = spec.activation_dim, spec.gradient_dim
+                # activation + gradient token streams (assume <=1024 tokens,
+                # fp32) + one per-sample gradient.
+                bytes_per_example += 4 * (1024 * (d_in + d_out) + d_in * d_out)
+            device = jax.devices()[0]
+            stats = getattr(device, "memory_stats", lambda: None)() or {}
+            limit = stats.get("bytes_limit", 16 * 1024**3)
+            in_use = stats.get("bytes_in_use", 0)
+            budget = max(limit - in_use, limit // 4) * 0.4
+            fit = max(1, int(budget // max(bytes_per_example, 1)))
+            chosen = min(attempt, fit)
+            if chosen < attempt:
+                self.logger.info(
+                    f"Analytic memory estimate reduced per-device batch size "
+                    f"{attempt} -> {chosen}."
+                )
+            return chosen
+        except Exception:  # estimation is best-effort; fall back to the clamp
+            return attempt
 
     # -- Module discovery / partitioning (reference: computer.py:250-316). --
     def _layer_specs(self, dataset: Any = None) -> Dict[str, Any]:

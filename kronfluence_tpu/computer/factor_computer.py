@@ -94,6 +94,7 @@ class FactorComputer(Computer):
             indices=indices,
             per_device_batch_size=per_device_batch_size,
             initial_attempt=initial_per_device_batch_size_attempt,
+            dataloader_kwargs=dataloader_kwargs,
             data_partitions=factor_args.covariance_data_partitions,
             module_partitions=factor_args.covariance_module_partitions,
             target_data_partitions=target_data_partitions,
@@ -199,6 +200,7 @@ class FactorComputer(Computer):
             indices=indices,
             per_device_batch_size=per_device_batch_size,
             initial_attempt=initial_per_device_batch_size_attempt,
+            dataloader_kwargs=dataloader_kwargs,
             data_partitions=factor_args.lambda_data_partitions,
             module_partitions=factor_args.lambda_module_partitions,
             target_data_partitions=target_data_partitions,
@@ -221,6 +223,7 @@ class FactorComputer(Computer):
         indices: np.ndarray,
         per_device_batch_size,
         initial_attempt: int,
+        dataloader_kwargs,
         data_partitions: int,
         module_partitions: int,
         target_data_partitions,
@@ -239,7 +242,10 @@ class FactorComputer(Computer):
         data_ranges = make_indices_partition(len(indices), data_partitions)
 
         if no_partition:
-            loader = self._get_loader(dataset, per_device_batch_size, indices, initial_attempt)
+            loader = self._get_loader(
+                dataset, per_device_batch_size, indices, initial_attempt,
+                dataloader_kwargs=dataloader_kwargs,
+            )
             with self.profiler.profile(f"Fit {stage.capitalize()}"):
                 factors = fit_fn(loader, None if module_partitions == 1 else module_names)
             with self.profiler.profile(f"Save {stage.capitalize()}"):
@@ -263,7 +269,8 @@ class FactorComputer(Computer):
                     self.logger.info(f"Found existing {stage} factors for partition {partition}. Skipping.")
                     continue
                 loader = self._get_loader(
-                    dataset, per_device_batch_size, indices[start:end], initial_attempt
+                    dataset, per_device_batch_size, indices[start:end], initial_attempt,
+                    dataloader_kwargs=dataloader_kwargs,
                 )
                 with self.profiler.profile(f"Fit {stage.capitalize()}"):
                     factors = fit_fn(loader, module_groups[mi])

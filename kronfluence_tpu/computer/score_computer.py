@@ -6,6 +6,7 @@ skip-if-exists, score-argument persistence, flag-compatibility validation,
 index subsetting.
 """
 
+import dataclasses
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -42,9 +43,10 @@ def self_scores_save_path(output_dir: Path, partition=None) -> Path:
 
 
 class ScoreComputer(Computer):
-    def _validate_pairwise_flags(self, score_args: ScoreArguments) -> None:
-        """Warns on flag combinations the reference rejects
-        (reference: score_computer.py:287-309)."""
+    def _validate_pairwise_flags(self, score_args: ScoreArguments) -> ScoreArguments:
+        """Returns a validated COPY; never mutates the caller's arguments
+        (reference warns-and-adjusts on a per-call basis,
+        score_computer.py:287-309)."""
         if score_args.compute_per_token_scores and (
             score_args.aggregate_train_gradients
             or score_args.aggregate_query_gradients
@@ -54,9 +56,8 @@ class ScoreComputer(Computer):
                 "Per-token scores are incompatible with gradient aggregation / "
                 "post-processing; falling back to per-sequence scores."
             )
-            score_args.compute_per_token_scores = False
-        if score_args.compute_per_token_scores and score_args.query_gradient_low_rank is None:
-            pass  # Supported.
+            score_args = dataclasses.replace(score_args, compute_per_token_scores=False)
+        return score_args
 
     def compute_pairwise_scores(
         self,
@@ -75,13 +76,13 @@ class ScoreComputer(Computer):
         target_module_partitions: Optional[Sequence[int]] = None,
         overwrite_output_dir: bool = False,
     ) -> None:
-        score_args = score_args or ScoreArguments()
+        score_args = dataclasses.replace(score_args) if score_args else ScoreArguments()
         scores_dir = self.scores_output_dir(scores_name)
         scores_dir.mkdir(parents=True, exist_ok=True)
         if pairwise_scores_save_path(scores_dir).exists() and not overwrite_output_dir:
             self.logger.info(f"Found existing pairwise scores at {scores_dir}. Skipping.")
             return
-        self._validate_pairwise_flags(score_args)
+        score_args = self._validate_pairwise_flags(score_args)
         self._save_arguments(SCORE_ARGUMENTS_NAME, score_args, scores_dir, overwrite_output_dir)
         self._save_dataset_metadata(
             "query", query_dataset, scores_dir, overwrite_output_dir, query_indices
@@ -93,43 +94,111 @@ class ScoreComputer(Computer):
         factor_args = self.loaded_factor_args(factors_name)
         factors = self.load_all_factors(factors_name)
 
-        query_loader = self._get_loader(query_dataset, per_device_query_batch_size, query_indices)
+        query_loader = self._get_loader(
+            query_dataset, per_device_query_batch_size, query_indices,
+            dataloader_kwargs=dataloader_kwargs,
+        )
         train_idx = (
             np.asarray(train_indices, dtype=np.int64)
             if train_indices is not None
             else np.arange(dataset_length(train_dataset))
         )
 
+        def compute_partition(di, mi, group):
+            train_loader = self._get_loader(
+                train_dataset,
+                per_device_train_batch_size,
+                train_idx[slice(*data_ranges[di])],
+                initial_per_device_train_batch_size_attempt,
+                dataloader_kwargs=dataloader_kwargs,
+            )
+            with self.profiler.profile("Compute Pairwise Score"):
+                return compute_pairwise_scores_with_loaders(
+                    self.model, self.params, self.task, query_loader, train_loader,
+                    factors, factor_args, score_args,
+                    tracked_names=group if len(module_groups) > 1 else None,
+                    mesh=self.mesh, profiler=self.profiler,
+                )
+
         module_names = self.tracked_module_names(train_dataset)
         module_groups = self._partition_module_names(module_names, score_args.module_partitions)
         data_ranges = make_indices_partition(len(train_idx), score_args.data_partitions)
 
-        partition_results: List[List[Dict[str, np.ndarray]]] = []
-        for di, (start, end) in enumerate(data_ranges):
-            row = []
-            for mi, group in enumerate(module_groups):
-                train_loader = self._get_loader(
-                    train_dataset,
-                    per_device_train_batch_size,
-                    train_idx[start:end],
-                    initial_per_device_train_batch_size_attempt,
-                )
-                with self.profiler.profile("Compute Pairwise Score"):
-                    scores = compute_pairwise_scores_with_loaders(
-                        self.model, self.params, self.task, query_loader, train_loader,
-                        factors, factor_args, score_args,
-                        tracked_names=group if len(module_groups) > 1 else None,
-                        mesh=self.mesh, profiler=self.profiler,
-                    )
-                if score_args.data_partitions > 1 or score_args.module_partitions > 1:
-                    save_file(scores, pairwise_scores_save_path(scores_dir, (di, mi)))
-                row.append(scores)
-            partition_results.append(row)
-
-        aggregated = _aggregate_scores(partition_results, score_args, concat_axis=1)
+        aggregated = self._run_score_partitions(
+            compute_partition, module_groups, data_ranges, score_args,
+            target_data_partitions, target_module_partitions,
+            scores_dir, pairwise_scores_save_path, concat_axis=1,
+            overwrite_output_dir=overwrite_output_dir,
+        )
+        if aggregated is None:
+            return  # target subset requested: per-partition artifacts only.
         with self.profiler.profile("Save Pairwise Score"):
             save_file(aggregated, pairwise_scores_save_path(scores_dir))
         self.logger.info(f"Saved pairwise scores at {scores_dir}.")
+
+    def _run_score_partitions(
+        self,
+        compute_partition,
+        module_groups,
+        data_ranges,
+        score_args: ScoreArguments,
+        target_data_partitions,
+        target_module_partitions,
+        scores_dir,
+        save_path_fn,
+        concat_axis: int,
+        overwrite_output_dir: bool,
+    ) -> Optional[Dict[str, np.ndarray]]:
+        """(data x module) partition loop with preemption-safe resume.
+
+        Mirrors reference score_computer.py:276-380: every completed partition
+        is persisted and skipped on rerun, and `target_*_partitions` restricts
+        a job to a subset (the split-work-across-hosts workflow) — in that
+        case final aggregation is deferred to the full rerun.
+        """
+        partitioned = score_args.data_partitions > 1 or score_args.module_partitions > 1
+        targeted = (
+            target_data_partitions is not None or target_module_partitions is not None
+        )
+        data_targets = (
+            list(target_data_partitions)
+            if target_data_partitions is not None
+            else list(range(score_args.data_partitions))
+        )
+        module_targets = (
+            list(target_module_partitions)
+            if target_module_partitions is not None
+            else list(range(score_args.module_partitions))
+        )
+
+        results: Dict[tuple, Dict[str, np.ndarray]] = {}
+        for di in data_targets:
+            for mi in module_targets:
+                partition = (di, mi)
+                path = save_path_fn(scores_dir, partition) if partitioned else None
+                if (
+                    partitioned
+                    and path.exists()
+                    and not overwrite_output_dir
+                ):
+                    self.logger.info(
+                        f"Found existing scores for partition {partition}. Skipping."
+                    )
+                    results[partition] = dict(load_file(path))
+                    continue
+                scores = compute_partition(di, mi, module_groups[mi])
+                if partitioned:
+                    save_file(scores, path)
+                    self.logger.info(f"Saved scores for partition {partition}.")
+                results[partition] = scores
+
+        if targeted:
+            return None
+        partition_results = [
+            [results[(di, mi)] for mi in range(score_args.module_partitions)]
+            for di in range(score_args.data_partitions)
+        ]
+        return _aggregate_scores(partition_results, score_args, concat_axis=concat_axis)
 
     def compute_self_scores(
         self,
@@ -145,14 +214,16 @@ class ScoreComputer(Computer):
         target_module_partitions: Optional[Sequence[int]] = None,
         overwrite_output_dir: bool = False,
     ) -> None:
-        score_args = score_args or ScoreArguments()
-        # Self-influence strips options that do not apply
-        # (reference: score_computer.py:617-639).
-        score_args.query_gradient_accumulation_steps = 1
-        score_args.query_gradient_low_rank = None
-        score_args.aggregate_query_gradients = False
-        score_args.aggregate_train_gradients = False
-        score_args.compute_per_token_scores = False
+        # Self-influence strips options that do not apply — on a COPY, never
+        # the caller's object (reference: score_computer.py:617-639).
+        score_args = dataclasses.replace(
+            score_args or ScoreArguments(),
+            query_gradient_accumulation_steps=1,
+            query_gradient_low_rank=None,
+            aggregate_query_gradients=False,
+            aggregate_train_gradients=False,
+            compute_per_token_scores=False,
+        )
 
         scores_dir = self.scores_output_dir(scores_name)
         scores_dir.mkdir(parents=True, exist_ok=True)
@@ -172,33 +243,34 @@ class ScoreComputer(Computer):
             else np.arange(dataset_length(train_dataset))
         )
 
+        def compute_partition(di, mi, group):
+            train_loader = self._get_loader(
+                train_dataset,
+                per_device_train_batch_size,
+                train_idx[slice(*data_ranges[di])],
+                initial_per_device_train_batch_size_attempt,
+                dataloader_kwargs=dataloader_kwargs,
+            )
+            with self.profiler.profile("Compute Self-Influence Score"):
+                return compute_self_scores_with_loaders(
+                    self.model, self.params, self.task, train_loader,
+                    factors, factor_args, score_args,
+                    tracked_names=group if len(module_groups) > 1 else None,
+                    mesh=self.mesh, profiler=self.profiler,
+                )
+
         module_names = self.tracked_module_names(train_dataset)
         module_groups = self._partition_module_names(module_names, score_args.module_partitions)
         data_ranges = make_indices_partition(len(train_idx), score_args.data_partitions)
 
-        partition_results: List[List[Dict[str, np.ndarray]]] = []
-        for di, (start, end) in enumerate(data_ranges):
-            row = []
-            for mi, group in enumerate(module_groups):
-                train_loader = self._get_loader(
-                    train_dataset,
-                    per_device_train_batch_size,
-                    train_idx[start:end],
-                    initial_per_device_train_batch_size_attempt,
-                )
-                with self.profiler.profile("Compute Self-Influence Score"):
-                    scores = compute_self_scores_with_loaders(
-                        self.model, self.params, self.task, train_loader,
-                        factors, factor_args, score_args,
-                        tracked_names=group if len(module_groups) > 1 else None,
-                        mesh=self.mesh, profiler=self.profiler,
-                    )
-                if score_args.data_partitions > 1 or score_args.module_partitions > 1:
-                    save_file(scores, self_scores_save_path(scores_dir, (di, mi)))
-                row.append(scores)
-            partition_results.append(row)
-
-        aggregated = _aggregate_scores(partition_results, score_args, concat_axis=0)
+        aggregated = self._run_score_partitions(
+            compute_partition, module_groups, data_ranges, score_args,
+            target_data_partitions, target_module_partitions,
+            scores_dir, self_scores_save_path, concat_axis=0,
+            overwrite_output_dir=overwrite_output_dir,
+        )
+        if aggregated is None:
+            return
         with self.profiler.profile("Save Self-Influence Score"):
             save_file(aggregated, self_scores_save_path(scores_dir))
         self.logger.info(f"Saved self-influence scores at {scores_dir}.")

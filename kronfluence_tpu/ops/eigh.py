@@ -202,6 +202,9 @@ def _blocked_jacobi_eigh(
         return jnp.sum(jnp.square(A * off_mask), axis=(1, 2))
 
     total_sq = jnp.sum(A * A, axis=(1, 2))
+    # fp32 rotations floor the off-norm at ~O(eps * sqrt(n)) relative; a
+    # tolerance below that floor would always exhaust max_sweeps.
+    tol = jnp.maximum(tol, 8.0 * eps * math.sqrt(n))
     A0 = A
 
     def cond(state):
@@ -265,7 +268,7 @@ def eigh_batched(
 
     # Bound peak HBM: the solver holds ~8 live (n, n) tensors per matrix, so
     # large batches of large matrices are processed in chunks.
-    budget_elems = 192_000_000  # ~0.75 GB fp32 per live tensor set
+    budget_elems = 64_000_000  # ~2 GB fp32 across the ~8-tensor live set
     chunk = max(1, min(A.shape[0], budget_elems // (n * n)))
     ev_parts, vec_parts = [], []
     for start in range(0, A.shape[0], chunk):

@@ -1,6 +1,9 @@
 """Named FactorArguments recipes (parity with reference
-kronfluence/utils/common/factor_arguments.py). On TPU, `amp_dtype` is a hint
-only; the per-stage dtype fields are what drive bf16 compute."""
+kronfluence/utils/common/factor_arguments.py). `amp_dtype` casts model params
+for the forward/backward (autocast analogue); the per-stage dtype fields
+control factor accumulation precision. The reduce-memory recipes map the
+reference's CPU activation offload to XLA rematerialization and per-sample
+lambda accumulation to a lax.scan (see factor/eigen.py)."""
 
 from kronfluence_tpu.arguments import FactorArguments
 

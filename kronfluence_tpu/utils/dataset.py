@@ -22,7 +22,17 @@ import numpy as np
 
 @dataclasses.dataclass
 class DataLoaderKwargs:
-    """Accepted for API parity with the reference; most knobs are no-ops on TPU."""
+    """Loader knobs (reference: utils/dataset.py:17-35), TPU semantics:
+
+    * `collate_fn` — honored: applied to the list of example rows to build a
+      batch (default stacks numpy leaves).
+    * `num_workers` / `prefetch_factor` — honored as a background prefetch
+      thread: >0 workers keeps up to `prefetch_factor` materialized batches
+      ahead of the dispatch loop.
+    * `pin_memory` / `persistent_workers` — meaningless off torch; accepted
+      and ignored (device transfers are always async through jax.device_put).
+    * `drop_last` — honored: drops the final partial batch instead of padding.
+    """
 
     num_workers: int = 0
     collate_fn: Optional[Any] = None
@@ -91,7 +101,10 @@ class BatchLoader:
     """Yields fixed-shape (batch, valid_mask) pairs over an index range.
 
     Every batch has exactly `batch_size` rows; the final batch is padded by
-    repeating the first row of the range with `valid=0`.
+    repeating the first row of the range with `valid=0` (or dropped when
+    `drop_last`). With `num_workers > 0` a background thread materializes
+    batches ahead of the consumer so host-side collation overlaps device
+    compute — the TPU analogue of the torch DataLoader worker pool.
     """
 
     def __init__(
@@ -99,9 +112,11 @@ class BatchLoader:
         dataset: Any,
         batch_size: int,
         indices: Optional[Sequence[int]] = None,
+        dataloader_kwargs: Optional[DataLoaderKwargs] = None,
     ) -> None:
         self.dataset = dataset
         self.batch_size = int(batch_size)
+        self.dataloader_kwargs = dataloader_kwargs or DataLoaderKwargs()
         if indices is None:
             indices = np.arange(dataset_length(dataset))
         self.indices = np.asarray(indices, dtype=np.int64)
@@ -109,14 +124,26 @@ class BatchLoader:
             raise ValueError("batch_size must be positive.")
 
     def __len__(self) -> int:
-        return math.ceil(len(self.indices) / self.batch_size)
+        n = len(self.indices)
+        if self.dataloader_kwargs.drop_last:
+            return n // self.batch_size
+        return math.ceil(n / self.batch_size)
 
     @property
     def num_examples(self) -> int:
+        if self.dataloader_kwargs.drop_last:
+            return (len(self.indices) // self.batch_size) * self.batch_size
         return len(self.indices)
 
-    def __iter__(self) -> Iterator[Tuple[Any, np.ndarray]]:
-        n = len(self.indices)
+    def _materialize(self, chunk: np.ndarray) -> Any:
+        collate = self.dataloader_kwargs.collate_fn
+        if collate is not None:
+            rows = [self.dataset[int(i)] for i in chunk]
+            return collate(rows)
+        return _get_rows(self.dataset, chunk)
+
+    def _batches(self) -> Iterator[Tuple[Any, np.ndarray]]:
+        n = self.num_examples
         for start in range(0, n, self.batch_size):
             chunk = self.indices[start : start + self.batch_size]
             valid = np.ones(self.batch_size, dtype=np.float32)
@@ -124,8 +151,39 @@ class BatchLoader:
                 pad = self.batch_size - len(chunk)
                 valid[len(chunk) :] = 0.0
                 chunk = np.concatenate([chunk, np.full(pad, chunk[0], dtype=np.int64)])
-            batch = _get_rows(self.dataset, chunk)
-            yield batch, valid
+            yield self._materialize(chunk), valid
+
+    def __iter__(self) -> Iterator[Tuple[Any, np.ndarray]]:
+        kwargs = self.dataloader_kwargs
+        if kwargs.num_workers and kwargs.num_workers > 0:
+            return _prefetched(self._batches(), kwargs.prefetch_factor or 2)
+        return self._batches()
+
+
+def _prefetched(source: Iterator, depth: int) -> Iterator:
+    """Runs `source` in a daemon thread, keeping `depth` items buffered."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in source:
+                q.put(item)
+            q.put(sentinel)
+        except BaseException as exc:  # surface worker errors to the consumer
+            q.put(exc)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def dataset_metadata(dataset: Any, indices: Optional[Sequence[int]] = None) -> Dict[str, Any]:
