@@ -56,7 +56,7 @@ class Computer:
         cpu: bool = False,
         log_level: Optional[int] = None,
         log_main_process_only: bool = True,
-        profile: bool = False,
+        profile: Any = False,
         disable_tqdm: bool = False,
         output_dir: str = "./influence_results",
     ) -> None:
@@ -73,8 +73,15 @@ class Computer:
         self.params = params
         self.cpu = cpu
         self.disable_tqdm = disable_tqdm
-        self.logger = get_logger(type(self).__name__, log_level)
-        self.profiler = Profiler() if profile else PassThroughProfiler()
+        self.logger = get_logger(
+            type(self).__name__, log_level, main_process_only=log_main_process_only
+        )
+        if profile == "trace":
+            from kronfluence_tpu.utils.logger import TraceProfiler
+
+            self.profiler = TraceProfiler(str(Path(output_dir) / "profiler_output"))
+        else:
+            self.profiler = Profiler() if profile else PassThroughProfiler()
         self.output_dir = Path(output_dir).joinpath(name).resolve()
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self._dataloader_params = DataLoaderKwargs()

@@ -53,15 +53,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Optional[Mesh], batch: Any) -> Any:
     """Device-puts a host batch, sharding leading (batch) axes over the data
-    axis; leaves that cannot be split evenly (scalars, metadata) replicate."""
+    axis; leaves that cannot be split evenly (scalars, metadata) replicate.
+
+    Multi-host: each process holds only its local rows (see
+    BatchLoader's process sharding); global arrays are assembled with
+    `jax.make_array_from_process_local_data` — the analogue of the
+    reference's DistributedEvalSampler striding + NCCL scatter
+    (kronfluence/utils/dataset.py:104-145).
+    """
     if mesh is None:
         return jax.device_put(batch)
     n = mesh.shape[DATA_AXIS]
     data_sharding = batch_sharding(mesh)
     replica = replicated(mesh)
+    procs = jax.process_count()
 
     def put(x):
         arr = np.asarray(x)
+        if procs > 1:
+            if arr.ndim >= 1 and (arr.shape[0] * procs) % n == 0:
+                return jax.make_array_from_process_local_data(data_sharding, arr)
+            return jax.make_array_from_process_local_data(replica, arr)
         if arr.ndim >= 1 and arr.shape[0] % n == 0:
             return jax.device_put(arr, data_sharding)
         return jax.device_put(arr, replica)

@@ -33,7 +33,7 @@ from kronfluence_tpu.factor.covariance import cast_params, discover_stage_specs,
 from kronfluence_tpu.ops.flatten import activation_tokens_with_bias, gradient_tokens
 from kronfluence_tpu.ops.scores import pairwise_score
 from kronfluence_tpu.ops.svd import lowrank_factors_full, lowrank_factors_randomized
-from kronfluence_tpu.parallel.mesh import shard_batch
+from kronfluence_tpu.parallel.mesh import replicated, shard_batch
 from kronfluence_tpu.prepare import PreparedModel
 from kronfluence_tpu.score.common import (
     measurement_forward,
@@ -51,7 +51,7 @@ def _score_args_key(score_args: ScoreArguments):
     return tuple(sorted(score_args.to_str_dict().items()))
 
 
-def _build_query_step(model, task, tracked, score_args, strategy):
+def _build_query_step(model, task, tracked, score_args, strategy, mesh=None):
     """Jitted query-gradient step: batch -> per-module preconditioned
     gradients (dense (q,o,i) or low-rank (L,R) pairs)."""
     strategy_config = get_factor_config(strategy)
@@ -64,8 +64,9 @@ def _build_query_step(model, task, tracked, score_args, strategy):
 
     amp_dtype = score_args.amp_dtype
     remat = score_args.offload_activations_to_cpu
+    out_shardings = replicated(mesh) if mesh is not None else None
 
-    @jax.jit
+    @partial(jax.jit, out_shardings=out_shardings)
     def query_step(params, batch, valid, rng, precondition_states):
         params = cast_params(params, amp_dtype)
         forward = measurement_forward(model, task, params, batch)
@@ -89,15 +90,16 @@ def _build_query_step(model, task, tracked, score_args, strategy):
     return query_step
 
 
-def _build_train_step(model, task, tracked, score_args, per_module):
+def _build_train_step(model, task, tracked, score_args, per_module, mesh=None):
     psg_dtype = resolve_dtype(score_args.per_sample_gradient_dtype)
     score_dtype = resolve_dtype(score_args.score_dtype)
     per_token = score_args.compute_per_token_scores
     post_process = task.enable_post_process_per_sample_gradient
     amp_dtype = score_args.amp_dtype
     remat = score_args.offload_activations_to_cpu
+    out_shardings = replicated(mesh) if mesh is not None else None
 
-    @jax.jit
+    @partial(jax.jit, out_shardings=out_shardings)
     def train_step(params, batch, valid, query_block):
         params = cast_params(params, amp_dtype)
         forward = train_loss_forward(
@@ -142,9 +144,12 @@ def _build_train_step(model, task, tracked, score_args, per_module):
 
 
 def _build_summed_gradient_step(
-    model, task, tracked, psg_dtype, use_measurement, amp_dtype=None, remat=False
+    model, task, tracked, psg_dtype, use_measurement, amp_dtype=None, remat=False,
+    mesh=None,
 ):
-    @jax.jit
+    out_shardings = replicated(mesh) if mesh is not None else None
+
+    @partial(jax.jit, out_shardings=out_shardings)
     def sum_step(params, batch, valid):
         params = cast_params(params, amp_dtype)
         if use_measurement:
@@ -223,10 +228,11 @@ def compute_pairwise_scores_with_loaders(
                 (
                     "sum_grad", model.task_key(task), tkey, str(psg_dtype), True,
                     str(score_args.amp_dtype), score_args.offload_activations_to_cpu,
+                    mesh,
                 ),
                 lambda: _build_summed_gradient_step(
                     model, task, tracked, psg_dtype, True,
-                    score_args.amp_dtype, score_args.offload_activations_to_cpu,
+                    score_args.amp_dtype, score_args.offload_activations_to_cpu, mesh,
                 ),
             )
             total: Dict[str, jax.Array] = {}
@@ -247,8 +253,13 @@ def compute_pairwise_scores_with_loaders(
         def query_blocks_iter():
             query_step = cached_step(
                 model,
-                ("pairwise_query", model.task_key(task), tkey, args_key, factor_args.strategy),
-                lambda: _build_query_step(model, task, tracked, score_args, factor_args.strategy),
+                (
+                    "pairwise_query", model.task_key(task), tkey, args_key,
+                    factor_args.strategy, mesh,
+                ),
+                lambda: _build_query_step(
+                    model, task, tracked, score_args, factor_args.strategy, mesh
+                ),
             )
             pending = []
             accumulation = score_args.query_gradient_accumulation_steps
@@ -277,8 +288,8 @@ def compute_pairwise_scores_with_loaders(
     else:
         train_step = cached_step(
             model,
-            ("pairwise_train", model.task_key(task), tkey, args_key, per_module),
-            lambda: _build_train_step(model, task, tracked, score_args, per_module),
+            ("pairwise_train", model.task_key(task), tkey, args_key, per_module, mesh),
+            lambda: _build_train_step(model, task, tracked, score_args, per_module, mesh),
         )
 
         def train_pass(query_block):
@@ -323,11 +334,11 @@ def _aggregated_train_pass(
         model,
         (
             "sum_grad", model.task_key(task), tkey, str(psg_dtype), False,
-            str(score_args.amp_dtype), score_args.offload_activations_to_cpu,
+            str(score_args.amp_dtype), score_args.offload_activations_to_cpu, mesh,
         ),
         lambda: _build_summed_gradient_step(
             model, task, tracked, psg_dtype, False,
-            score_args.amp_dtype, score_args.offload_activations_to_cpu,
+            score_args.amp_dtype, score_args.offload_activations_to_cpu, mesh,
         ),
     )
 

@@ -18,7 +18,7 @@ from kronfluence_tpu.arguments import FactorArguments, ScoreArguments
 from kronfluence_tpu.capture.engine import capture
 from kronfluence_tpu.factor.config import get_factor_config
 from kronfluence_tpu.factor.covariance import cast_params, discover_stage_specs, train_loss_forward
-from kronfluence_tpu.parallel.mesh import shard_batch
+from kronfluence_tpu.parallel.mesh import replicated, shard_batch
 from kronfluence_tpu.prepare import PreparedModel
 from kronfluence_tpu.score.common import (
     measurement_forward,
@@ -64,9 +64,12 @@ def compute_self_scores_with_loaders(
 
     amp_dtype = score_args.amp_dtype
     remat = score_args.offload_activations_to_cpu
+    out_shardings = replicated(mesh) if mesh is not None else None
 
     def build_step():
-        @jax.jit
+        from functools import partial
+
+        @partial(jax.jit, out_shardings=out_shardings)
         def step(params, batch, valid, precondition_states):
             params = cast_params(params, amp_dtype)
             loss_forward = train_loss_forward(
@@ -108,6 +111,7 @@ def compute_self_scores_with_loaders(
         (
             "self", model.task_key(task), tkey, tuple(sorted(score_args.to_str_dict().items())),
             factor_args.strategy, per_module, use_measurement, str(amp_dtype), remat,
+            mesh,
         ),
         build_step,
     )

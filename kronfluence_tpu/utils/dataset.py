@@ -143,7 +143,10 @@ class BatchLoader:
         return _get_rows(self.dataset, chunk)
 
     def _batches(self) -> Iterator[Tuple[Any, np.ndarray]]:
+        import jax
+
         n = self.num_examples
+        procs, rank = jax.process_count(), jax.process_index()
         for start in range(0, n, self.batch_size):
             chunk = self.indices[start : start + self.batch_size]
             valid = np.ones(self.batch_size, dtype=np.float32)
@@ -151,7 +154,15 @@ class BatchLoader:
                 pad = self.batch_size - len(chunk)
                 valid[len(chunk) :] = 0.0
                 chunk = np.concatenate([chunk, np.full(pad, chunk[0], dtype=np.int64)])
-            yield self._materialize(chunk), valid
+            if procs > 1:
+                # Multi-host: materialize only this process's contiguous rows
+                # of the global batch (shard_batch reassembles the global
+                # array from the per-process shards).
+                per = self.batch_size // procs
+                sl = slice(rank * per, (rank + 1) * per)
+                yield self._materialize(chunk[sl]), valid[sl]
+            else:
+                yield self._materialize(chunk), valid
 
     def __iter__(self) -> Iterator[Tuple[Any, np.ndarray]]:
         kwargs = self.dataloader_kwargs

@@ -13,7 +13,37 @@ from contextlib import contextmanager
 from typing import Dict, List, Optional, Tuple
 
 
-def get_logger(name: str, level: Optional[int] = None) -> logging.Logger:
+class MultiProcessAdapter(logging.LoggerAdapter):
+    """Rank-gated logging (reference: utils/logger.py:22-54): by default only
+    process 0 emits; pass `main_process_only=False` in `extra` to log from
+    every process (messages are then prefixed with the process index)."""
+
+    def __init__(self, logger: logging.Logger, main_process_only: bool = True) -> None:
+        super().__init__(logger, {})
+        self.main_process_only = main_process_only
+
+    @staticmethod
+    def _process_index() -> int:
+        import jax
+
+        try:
+            return jax.process_index()
+        except Exception:
+            return 0
+
+    def log(self, level, msg, *args, main_process_only: Optional[bool] = None, **kwargs):
+        gate = self.main_process_only if main_process_only is None else main_process_only
+        index = self._process_index()
+        if gate and index != 0:
+            return
+        if not gate and index != 0:
+            msg = f"[process {index}] {msg}"
+        super().log(level, msg, *args, **kwargs)
+
+
+def get_logger(
+    name: str, level: Optional[int] = None, main_process_only: bool = True
+) -> MultiProcessAdapter:
     logger = logging.getLogger(name)
     if level is not None:
         logger.setLevel(level)
@@ -23,7 +53,7 @@ def get_logger(name: str, level: Optional[int] = None) -> logging.Logger:
             logging.Formatter("%(asctime)s [%(levelname)s] %(name)s: %(message)s")
         )
         logger.addHandler(handler)
-    return logger
+    return MultiProcessAdapter(logger, main_process_only=main_process_only)
 
 
 class PassThroughProfiler:
@@ -75,3 +105,30 @@ class Profiler(PassThroughProfiler):
                 f"{name:<50}|  {t / max(c, 1):<18.5}|  {c:<10}|  {t:<15.5}|  {100.0 * t / total:<13.5}"
             )
         return "\n".join(lines)
+
+
+class TraceProfiler(Profiler):
+    """jax.profiler-backed variant (analogue of the reference's TorchProfiler,
+    utils/logger.py:170-275): wall-clock tables plus an on-disk TensorBoard
+    trace of device activity for the profiled region."""
+
+    def __init__(self, trace_dir: str = "./profiler_output") -> None:
+        super().__init__()
+        self.trace_dir = trace_dir
+        self._tracing = False
+
+    @contextmanager
+    def profile(self, action_name: str):
+        import jax
+
+        start_trace = not self._tracing
+        if start_trace:
+            jax.profiler.start_trace(self.trace_dir)
+            self._tracing = True
+        try:
+            with super().profile(action_name):
+                yield
+        finally:
+            if start_trace:
+                jax.profiler.stop_trace()
+                self._tracing = False
