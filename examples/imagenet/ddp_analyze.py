@@ -20,7 +20,7 @@ import numpy as np
 import optax
 
 from kronfluence_tpu import Analyzer, FactorArguments, ScoreArguments, prepare_model
-from kronfluence_tpu.models.resnet import resnet50
+from kronfluence_tpu.models.resnet import ResNet9, resnet50
 from kronfluence_tpu.parallel.mesh import make_mesh
 from kronfluence_tpu.task import Task
 
@@ -55,6 +55,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--data_parallel", type=int, default=None,
                         help="mesh data-axis size (default: all devices)")
+    parser.add_argument("--arch", default="resnet50", choices=["resnet50", "resnet9"],
+                        help="resnet9 is the CI smoke-test size")
     parser.add_argument("--image_size", type=int, default=64)
     parser.add_argument("--num_classes", type=int, default=100)
     parser.add_argument("--num_train", type=int, default=256)
@@ -67,7 +69,10 @@ def main():
     mesh = make_mesh(data=args.data_parallel)
     print(f"mesh: {dict(mesh.shape)}")
 
-    module = resnet50(num_classes=args.num_classes)
+    if args.arch == "resnet9":
+        module = ResNet9(num_classes=args.num_classes)
+    else:
+        module = resnet50(num_classes=args.num_classes)
     task = ClassificationTask()
     model = prepare_model(module, task)
     variables = module.init(

@@ -50,6 +50,16 @@ class ChoiceScorer(nn.Module):
 
 
 class MultipleChoiceTask(Task):
+    # Choices are folded into the batch inside the model; per-sample
+    # gradients must sum back to one gradient per example
+    # (reference: examples/swag/analyze.py:143-147).
+    enable_post_process_per_sample_gradient = True
+
+    def post_process_per_sample_gradient(self, module_name, gradient):
+        del module_name
+        true_batch = gradient.shape[0] // 4
+        return gradient.reshape(true_batch, 4, *gradient.shape[1:]).sum(axis=1)
+
     def compute_train_loss(self, batch, model, sample=False, rng=None):
         logits = model(batch["input_ids"], batch["attention_mask"])
         if sample:

@@ -21,7 +21,7 @@ from kronfluence_tpu.arguments import FactorArguments
 from kronfluence_tpu.capture.engine import capture, discover_specs
 from kronfluence_tpu.ops.covariance import gram
 from kronfluence_tpu.ops.flatten import flatten_activation, flatten_gradient
-from kronfluence_tpu.parallel.mesh import replicated, shard_batch
+from kronfluence_tpu.parallel.mesh import factor_sharding, replicated, shard_batch
 from kronfluence_tpu.prepare import PreparedModel
 from kronfluence_tpu.task import Task
 from kronfluence_tpu.utils.constants import (
@@ -86,12 +86,11 @@ def discover_stage_specs(
 
 def _build_covariance_step(
     model, task, tracked_key_, act_dtype, grad_dtype, sample, mesh,
-    amp_dtype=None, remat=False,
+    amp_dtype=None, remat=False, out_shardings=None,
 ):
     act_accum = accumulation_dtype(act_dtype)
     grad_accum = accumulation_dtype(grad_dtype)
     tracked = list(tracked_key_) if tracked_key_ is not None else None
-    out_shardings = replicated(mesh) if mesh is not None else None
 
     @partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)
     def step(state, params, batch, valid, rng):
@@ -158,10 +157,16 @@ def fit_covariance_matrices_with_loader(
         }
         for name, spec in specs.items()
     }
+    out_shardings = None
     if mesh is not None:
-        # Donated input must already live replicated on the mesh to alias the
-        # replicated output buffers.
-        state = jax.device_put(state, replicated(mesh))
+        # Large factor matrices shard their leading dim over the model axis
+        # (the Llama-scale case where replication would blow HBM, reference
+        # examples/openwebtext/fit_factors.py:82-88); small ones replicate.
+        # Donated inputs must already live with the output shardings.
+        out_shardings = jax.tree_util.tree_map(
+            lambda x: factor_sharding(mesh, x.shape), state
+        )
+        state = jax.device_put(state, out_shardings)
 
     amp_dtype = factor_args.amp_dtype
     remat = factor_args.offload_activations_to_cpu
@@ -173,7 +178,8 @@ def fit_covariance_matrices_with_loader(
             sample, mesh, str(amp_dtype), remat,
         ),
         lambda: _build_covariance_step(
-            model, task, tkey, act_dtype, grad_dtype, sample, mesh, amp_dtype, remat
+            model, task, tkey, act_dtype, grad_dtype, sample, mesh, amp_dtype, remat,
+            out_shardings,
         ),
     )
 

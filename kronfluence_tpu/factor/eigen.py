@@ -31,7 +31,7 @@ from kronfluence_tpu.factor.config import get_factor_config
 from kronfluence_tpu.factor.covariance import cast_params, train_loss_forward
 from kronfluence_tpu.ops.covariance import per_sample_gradient as psg_op
 from kronfluence_tpu.ops.flatten import activation_tokens_with_bias, gradient_tokens
-from kronfluence_tpu.parallel.mesh import replicated, shard_batch
+from kronfluence_tpu.parallel.mesh import factor_sharding, replicated, shard_batch
 from kronfluence_tpu.prepare import PreparedModel
 from kronfluence_tpu.task import Task
 from kronfluence_tpu.utils.constants import (
@@ -151,12 +151,11 @@ def perform_eigendecomposition(
 
 def _build_lambda_step(
     model, task, tracked_key_, psg_dtype, lambda_dtype, sample, mesh, use_eigenbasis,
-    iterative, remat, amp_dtype=None,
+    iterative, remat, amp_dtype=None, out_shardings=None,
 ):
     lambda_accum = accumulation_dtype(lambda_dtype)
     tracked = list(tracked_key_) if tracked_key_ is not None else None
     post_process = task.enable_post_process_per_sample_gradient
-    out_shardings = replicated(mesh) if mesh is not None else None
 
     def _squared_psg_sum(a_tok, g_tok):
         """Σ_b (per-sample grad)^2 from rotated token streams.
@@ -292,8 +291,14 @@ def fit_lambda_matrices_with_loader(
         for name, spec in specs.items()
     }
 
+    out_shardings = None
     if mesh is not None:
-        state = jax.device_put(state, replicated(mesh))
+        # Lambda matrices of Llama-scale MLP layers shard over the model axis
+        # instead of replicating (see factor_sharding).
+        out_shardings = jax.tree_util.tree_map(
+            lambda x: factor_sharding(mesh, x.shape), state
+        )
+        state = jax.device_put(state, out_shardings)
 
     iterative = factor_args.use_iterative_lambda_aggregation
     remat = factor_args.offload_activations_to_cpu
@@ -307,7 +312,7 @@ def fit_lambda_matrices_with_loader(
         ),
         lambda: _build_lambda_step(
             model, task, tkey, psg_dtype, lambda_dtype, sample, mesh, use_eigenbasis,
-            iterative, remat, amp_dtype,
+            iterative, remat, amp_dtype, out_shardings,
         ),
     )
 

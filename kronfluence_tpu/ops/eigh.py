@@ -146,13 +146,17 @@ def _block_index_tables(n: int, two_b: int):
     return jnp.asarray(perm), jnp.asarray(inv), rounds
 
 
-@partial(jax.jit, static_argnames=("block_size", "inner_sweeps", "max_sweeps"))
+@partial(
+    jax.jit,
+    static_argnames=("block_size", "inner_sweeps", "max_sweeps", "use_pallas"),
+)
 def _blocked_jacobi_eigh(
     A: jax.Array,
     block_size: int,
     inner_sweeps: int,
     max_sweeps: int,
     tol: float,
+    use_pallas: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Core solver: A (X, n, n) fp32 symmetric, n a multiple of 2*block_size."""
     x, n, _ = A.shape
@@ -174,7 +178,12 @@ def _blocked_jacobi_eigh(
         S = Ap.reshape(x, np_pairs, two_b, np_pairs, two_b)
         S = S[:, pair_idx, :, pair_idx, :]  # (np_pairs, x, 2b, 2b)
         S = S.transpose(1, 0, 2, 3).reshape(x * np_pairs, two_b, two_b)
-        V = _scalar_jacobi(S, inner_sweeps, eps)
+        if use_pallas:
+            from kronfluence_tpu.ops.pallas.jacobi import jacobi_pivot_rotations
+
+            V = jacobi_pivot_rotations(S, inner_sweeps, eps=eps, interpret=False)
+        else:
+            V = _scalar_jacobi(S, inner_sweeps, eps)
         V = V.reshape(x, np_pairs, two_b, two_b)
         # Rows: V^T @ A-rows  (batched MXU matmul).
         rows = Ap.reshape(x, np_pairs, two_b, n)
@@ -239,7 +248,7 @@ def _blocked_jacobi_eigh(
 def eigh_batched(
     matrices: jax.Array,
     block_size: int = 32,
-    inner_sweeps: int = 8,
+    inner_sweeps: int = 2,
     max_sweeps: int = 16,
     tol: float = 1e-6,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -270,10 +279,12 @@ def eigh_batched(
     # large batches of large matrices are processed in chunks.
     budget_elems = 64_000_000  # ~2 GB fp32 across the ~8-tensor live set
     chunk = max(1, min(A.shape[0], budget_elems // (n * n)))
+    use_pallas = jax.default_backend() == "tpu"
     ev_parts, vec_parts = [], []
     for start in range(0, A.shape[0], chunk):
         ev, vec = _padded_blocked_eigh(
-            A[start : start + chunk], n, block_size, inner_sweeps, max_sweeps, tol
+            A[start : start + chunk], n, block_size, inner_sweeps, max_sweeps, tol,
+            use_pallas,
         )
         ev_parts.append(ev)
         vec_parts.append(vec)
@@ -285,7 +296,7 @@ def eigh_batched(
     )
 
 
-def _padded_blocked_eigh(A, n, block_size, inner_sweeps, max_sweeps, tol):
+def _padded_blocked_eigh(A, n, block_size, inner_sweeps, max_sweeps, tol, use_pallas=False):
     two_b = 2 * block_size
     n_pad = int(math.ceil(n / two_b) * two_b)
     if n_pad != n:

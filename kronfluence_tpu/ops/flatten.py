@@ -23,6 +23,24 @@ import jax.numpy as jnp
 from kronfluence_tpu.capture.specs import LayerSpec
 
 
+def _expand_valid(valid: Optional[jax.Array], batch: int) -> Optional[jax.Array]:
+    """Broadcasts a per-example valid mask onto a folded batch dim.
+
+    Multiple-choice models fold choices into the batch (input (b, c, t) ->
+    encoder sees (b*c, t), reference examples/swag/analyze.py:143-147), so a
+    (b,) mask must repeat per choice. Contiguous example-major order is what
+    a leading reshape produces.
+    """
+    if valid is None or valid.shape[0] == batch:
+        return valid
+    if batch % valid.shape[0] != 0:
+        raise ValueError(
+            f"valid mask of {valid.shape[0]} samples cannot map onto a module "
+            f"batch of {batch} rows."
+        )
+    return jnp.repeat(valid, batch // valid.shape[0], axis=0)
+
+
 def _row_mask(
     a_shape: Tuple[int, ...],
     attention_mask: Optional[jax.Array],
@@ -39,6 +57,7 @@ def _row_mask(
         mask = attention_mask.reshape(rows, 1).astype(dtype)
     if valid is not None:
         batch = a_shape[0]
+        valid = _expand_valid(valid, batch)
         v = valid.astype(dtype).reshape((batch,) + (1,) * (len(a_shape) - 1))
         v = jnp.broadcast_to(v, a_shape[:-1] + (1,)).reshape(rows, 1)
         mask = v if mask is None else mask * v
@@ -161,5 +180,6 @@ def gradient_tokens(
     """(batch, tokens, out_dim) output gradient, padding samples zeroed."""
     tokens = _grad_to_tokens(spec, dy.astype(dtype))
     if valid is not None:
+        valid = _expand_valid(valid, tokens.shape[0])
         tokens = tokens * valid.astype(dtype)[:, None, None]
     return tokens

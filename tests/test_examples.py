@@ -1,0 +1,62 @@
+"""Smoke tests: every example pipeline runs end-to-end at tiny sizes.
+
+The reference CI only lints + unit-tests; its examples are exercised manually
+(BASELINE.md carries their published profiler tables). Here each example's
+`main()` is executed in-process with shrunken CLI arguments so the example
+code paths (model build, training loop, factor fit, scoring, reporting) stay
+working. Mirrors reference .github/workflows/python-test.yml intent.
+"""
+
+import importlib
+import runpy
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+EXAMPLES = {
+    "examples.uci.analyze": [
+        "--num_train", "48", "--queries", "4", "--train_batch_size", "16",
+    ],
+    "examples.cifar.detect_mislabeled_dataset": [
+        "--num_train", "48", "--batch_size", "16", "--epochs", "1",
+    ],
+    "examples.glue.analyze": [
+        "--num_train", "24", "--num_query", "4", "--batch_size", "8",
+    ],
+    "examples.swag.analyze": [
+        "--num_train", "16", "--num_query", "4", "--batch_size", "4",
+        "--query_gradient_low_rank", "4",
+    ],
+    "examples.dailymail.analyze": [
+        "--num_train", "16", "--num_query", "4", "--batch_size", "4",
+    ],
+    "examples.imagenet.ddp_analyze": [
+        "--arch", "resnet9", "--num_train", "16", "--num_query", "4",
+        "--per_device_batch_size", "2", "--image_size", "32",
+        "--num_classes", "10", "--query_gradient_low_rank", "4",
+    ],
+    "examples.wikitext.analyze": [
+        "--num_layers", "2", "--d_model", "32", "--num_heads", "2",
+        "--seq_len", "16", "--vocab", "128", "--num_train", "16",
+        "--num_query", "4", "--train_batch_size", "8",
+    ],
+    "examples.openwebtext.fit_factors": [
+        "--num_layers", "2", "--d_model", "32", "--num_heads", "2",
+        "--seq_len", "16", "--vocab", "128", "--num_train", "16",
+        "--per_device_batch_size", "4", "--module_partitions", "1",
+        "--data_partitions", "1",
+    ],
+}
+
+
+@pytest.mark.parametrize("module_name", sorted(EXAMPLES))
+def test_example_runs(module_name, tmp_path, monkeypatch):
+    argv = ["prog"] + EXAMPLES[module_name] + ["--output_dir", str(tmp_path)]
+    monkeypatch.setattr(sys, "argv", argv)
+    script = REPO / (module_name.replace(".", "/") + ".py")
+    # run as __main__ so the argparse entry point executes
+    runpy.run_path(str(script), run_name="__main__")

@@ -127,3 +127,33 @@ def test_uneven_final_batch_on_mesh(problem):
                 base[factor_name][mod], mesh_factors[factor_name][mod],
                 rtol=1e-9, atol=1e-11,
             )
+
+
+def test_factor_state_sharded_over_model_axis(problem):
+    """Large factor matrices distribute their leading dim over the model
+    axis (reference Llama workload: examples/openwebtext/fit_factors.py:82-88
+    fits 14k x 14k factors that must not replicate) with unchanged values."""
+    from kronfluence_tpu.utils.constants import (
+        ACTIVATION_COVARIANCE_MATRIX_NAME,
+        GRADIENT_COVARIANCE_MATRIX_NAME,
+    )
+
+    model, params, task, train, query, args = problem
+    single = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(train, 8), args
+    )
+    mesh = make_mesh(data=2, model=4)
+    sharded = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(train, 8), args, mesh=mesh
+    )
+    checked_distributed = 0
+    for factor in (ACTIVATION_COVARIANCE_MATRIX_NAME, GRADIENT_COVARIANCE_MATRIX_NAME):
+        for name, arr in sharded[factor].items():
+            np.testing.assert_allclose(
+                np.asarray(arr), np.asarray(single[factor][name]),
+                rtol=1e-12, atol=1e-12,
+            )
+            if arr.shape[0] % 4 == 0:
+                assert arr.sharding.spec == P(MODEL_AXIS), (name, arr.sharding.spec)
+                checked_distributed += 1
+    assert checked_distributed >= 1
