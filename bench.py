@@ -38,13 +38,13 @@ REF_PAIRS_PER_S = REF_QUERY * REF_TRAIN / REF_SCORE_S  # ~1186 pairs/s
 # Bench sizes (steady-state rates, extrapolated to the full workload).
 N_COV = 512
 N_LAMBDA = 256
-N_QUERY = 32
+N_QUERY = 40
 N_TRAIN = 1024
 SEQ = 512
 COV_BATCH = 16
 LAMBDA_BATCH = 16
-QUERY_BATCH = 32
-TRAIN_BATCH = 32
+QUERY_BATCH = 40
+TRAIN_BATCH = 16
 
 
 def log(msg):
@@ -205,7 +205,11 @@ def main():
     lam_rate = N_LAMBDA / stages["lambda"]
     log(f"lambda steady: {lam_rate:.1f} ex/s")
 
-    factors = {**cov, **eigen, **lam}
+    # EKFAC preconditioning needs only the eigendecomposition + lambda
+    # artifacts (reference load_all_factors requirements matrix); keeping the
+    # covariances alive on device would waste HBM during scoring.
+    del cov
+    factors = {**eigen, **lam}
 
     # ---- Stage 4: pairwise scores ----
     query_data = make_data(N_QUERY, 5)
