@@ -5,11 +5,13 @@ so user configs port unchanged. dtype fields accept strings, numpy dtypes, or
 jnp dtypes; they serialize to reference-compatible strings.
 
 TPU-specific notes:
-  * `amp_dtype` / `amp_scale`: on TPU, bfloat16 needs no loss scaling, so
-    `amp_scale` is accepted but ignored. `amp_dtype` is kept for config parity;
-    the per-stage dtype fields control the compute dtypes.
-  * `offload_activations_to_cpu`: accepted; the TPU build instead relies on
-    XLA rematerialization and per-layer streaming, so this is a no-op hint.
+  * `amp_dtype` casts model params for the forward/backward (the autocast
+    analogue); `amp_scale` applies GradScaler-style loss scaling when
+    `amp_dtype` is float16 (bfloat16 needs no scaling, so it is inert there,
+    matching the reference's `enabled=amp_dtype == torch.float16`).
+  * `offload_activations_to_cpu` maps to whole-forward rematerialization
+    (`jax.checkpoint`): on TPU, recomputing through the MXU is strictly
+    cheaper than round-tripping activations over the host link.
 """
 
 import dataclasses
@@ -47,7 +49,7 @@ class FactorArguments(Arguments):
     strategy: str = "ekfac"
     use_empirical_fisher: bool = False
     amp_dtype: Optional[Any] = None
-    amp_scale: float = 2.0**16  # Ignored on TPU (bf16 needs no loss scaling).
+    amp_scale: float = 2.0**16  # Active for float16 autocast (see module docstring).
     has_shared_parameters: bool = False
     # RNG seed for sampled-label (true Fisher) loss. The reference relies on
     # torch's implicit global RNG; JAX requires an explicit key.

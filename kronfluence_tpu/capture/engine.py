@@ -48,6 +48,7 @@ def capture(
     tracked_names: Optional[Sequence[str]] = None,
     require_tracked: bool = True,
     remat: bool = False,
+    loss_scale: Optional[float] = None,
 ) -> Tuple[jax.Array, CaptureResult]:
     """Runs `fn` (a closure returning a scalar summed loss) with capture.
 
@@ -60,6 +61,12 @@ def capture(
     replacement for the reference's CPU activation offload
     (module/tracker/factor.py:239): on TPU, recomputing through the MXU is far
     cheaper than round-tripping activations over the host link.
+
+    `loss_scale` implements GradScaler-style loss scaling for float16
+    autocast (reference: covariance.py:218-226 + the 1/scale `gradient_scale`
+    pushed into hooks, tracked_module.py:272-279): the backward runs with the
+    cotangent seeded at `loss_scale` so fp16 gradients avoid underflow, and
+    the captured output gradients are unscaled before any factor math.
     """
     specs, out_shapes = discover_specs(fn, tracked_names)
     if require_tracked and not specs:
@@ -84,12 +91,21 @@ def capture(
     loss, vjp_fn, activations = jax.vjp(inner, probes, has_aux=True)
     if loss.ndim != 0:
         raise ValueError(f"Loss/measurement must be a scalar; got shape {loss.shape}.")
-    (output_gradients,) = vjp_fn(jnp.ones((), loss.dtype))
+    seed = jnp.ones((), loss.dtype)
+    if loss_scale is not None and loss_scale != 1.0:
+        seed = seed * jnp.asarray(loss_scale, loss.dtype)
+    (output_gradients,) = vjp_fn(seed)
+    inv_scale = (
+        1.0 / loss_scale if loss_scale is not None and loss_scale != 1.0 else None
+    )
     result: CaptureResult = {}
     for name, spec in specs.items():
+        grads = list(output_gradients[name])
+        if inv_scale is not None:
+            grads = [g * jnp.asarray(inv_scale, g.dtype) for g in grads]
         result[name] = LayerCapture(
             spec=spec,
             activations=activations[name],
-            output_gradients=list(output_gradients[name]),
+            output_gradients=grads,
         )
     return loss, result

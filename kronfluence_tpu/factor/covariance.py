@@ -54,6 +54,18 @@ def cast_params(params: Any, amp_dtype: Any) -> Any:
     )
 
 
+def loss_scale_for(amp_dtype, amp_scale) -> "Optional[float]":
+    """GradScaler analogue: active only for float16 autocast (bf16 needs no
+    scaling; reference enables GradScaler iff amp_dtype == float16)."""
+    if amp_dtype is None or amp_scale in (None, 1.0):
+        return None
+    from kronfluence_tpu.utils.dtypes import resolve_dtype
+
+    if resolve_dtype(amp_dtype) == jnp.float16:
+        return float(amp_scale)
+    return None
+
+
 def train_loss_forward(
     model: PreparedModel,
     task: Task,
@@ -86,17 +98,18 @@ def discover_stage_specs(
 
 def _build_covariance_step(
     model, task, tracked_key_, act_dtype, grad_dtype, sample, mesh,
-    amp_dtype=None, remat=False, out_shardings=None,
+    amp_dtype=None, remat=False, out_shardings=None, amp_scale=None,
 ):
     act_accum = accumulation_dtype(act_dtype)
     grad_accum = accumulation_dtype(grad_dtype)
     tracked = list(tracked_key_) if tracked_key_ is not None else None
+    scale = loss_scale_for(amp_dtype, amp_scale)
 
     @partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)
     def step(state, params, batch, valid, rng):
         params = cast_params(params, amp_dtype)
         forward = train_loss_forward(model, task, params, batch, sample, rng)
-        _, captures = capture(forward, tracked, remat=remat)
+        _, captures = capture(forward, tracked, remat=remat, loss_scale=scale)
         masks = task.get_attention_mask(batch)
         for name, cap in captures.items():
             spec = cap.spec
@@ -179,7 +192,7 @@ def fit_covariance_matrices_with_loader(
         ),
         lambda: _build_covariance_step(
             model, task, tkey, act_dtype, grad_dtype, sample, mesh, amp_dtype, remat,
-            out_shardings,
+            out_shardings, factor_args.amp_scale,
         ),
     )
 

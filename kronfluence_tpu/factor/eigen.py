@@ -28,7 +28,7 @@ import numpy as np
 from kronfluence_tpu.arguments import FactorArguments
 from kronfluence_tpu.capture.engine import capture
 from kronfluence_tpu.factor.config import get_factor_config
-from kronfluence_tpu.factor.covariance import cast_params, train_loss_forward
+from kronfluence_tpu.factor.covariance import cast_params, loss_scale_for, train_loss_forward
 from kronfluence_tpu.ops.covariance import per_sample_gradient as psg_op
 from kronfluence_tpu.ops.flatten import activation_tokens_with_bias, gradient_tokens
 from kronfluence_tpu.parallel.mesh import factor_sharding, replicated, shard_batch
@@ -151,11 +151,12 @@ def perform_eigendecomposition(
 
 def _build_lambda_step(
     model, task, tracked_key_, psg_dtype, lambda_dtype, sample, mesh, use_eigenbasis,
-    iterative, remat, amp_dtype=None, out_shardings=None,
+    iterative, remat, amp_dtype=None, out_shardings=None, amp_scale=None,
 ):
     lambda_accum = accumulation_dtype(lambda_dtype)
     tracked = list(tracked_key_) if tracked_key_ is not None else None
     post_process = task.enable_post_process_per_sample_gradient
+    scale = loss_scale_for(amp_dtype, amp_scale)
 
     def _squared_psg_sum(a_tok, g_tok):
         """Σ_b (per-sample grad)^2 from rotated token streams.
@@ -218,7 +219,7 @@ def _build_lambda_step(
     def step(state, params, batch, valid, rng, q_a_all, q_g_all):
         params = cast_params(params, amp_dtype)
         forward = train_loss_forward(model, task, params, batch, sample, rng)
-        _, captures = capture(forward, tracked, remat=remat)
+        _, captures = capture(forward, tracked, remat=remat, loss_scale=scale)
         num_valid = jnp.sum(valid.astype(jnp.int32))
         for name, cap in captures.items():
             state[name][LAMBDA_MATRIX_NAME] += _lambda_contribution(
@@ -312,7 +313,7 @@ def fit_lambda_matrices_with_loader(
         ),
         lambda: _build_lambda_step(
             model, task, tkey, psg_dtype, lambda_dtype, sample, mesh, use_eigenbasis,
-            iterative, remat, amp_dtype, out_shardings,
+            iterative, remat, amp_dtype, out_shardings, factor_args.amp_scale,
         ),
     )
 

@@ -292,3 +292,47 @@ def test_partitioned_factors_match_unpartitioned(tmp_path):
             base_lam[LAMBDA_MATRIX_NAME][mod], part_lam[LAMBDA_MATRIX_NAME][mod],
             rtol=1e-8, atol=1e-10,
         )
+
+
+def test_amp_float16_loss_scaling():
+    """amp_dtype=float16 + amp_scale (GradScaler analogue): factors match the
+    fp32 run to fp16 tolerance, with gradients computed under loss scaling
+    (reference: factor/covariance.py:218-226, tracked_module.py:272-279)."""
+    import flax.linen as nn
+
+    from kronfluence_tpu.utils.constants import GRADIENT_COVARIANCE_MATRIX_NAME
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(3, name="fc", param_dtype=jnp.float32)(x)
+
+    class T(Task):
+        def compute_train_loss(self, batch, model, sample=False, rng=None):
+            return jnp.sum((model(batch["x"]) - batch["y"]) ** 2)
+
+        def compute_measurement(self, batch, model):
+            return self.compute_train_loss(batch, model)
+
+    rng = np.random.default_rng(0)
+    data = {
+        "x": rng.standard_normal((16, 4)).astype(np.float32),
+        "y": rng.standard_normal((16, 3)).astype(np.float32),
+    }
+    module = M()
+    params = module.init(jax.random.PRNGKey(0), jnp.asarray(data["x"][:1]))["params"]
+    task = T()
+    model = prepare_model(module, task)
+    base = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(data, 8),
+        FactorArguments(use_empirical_fisher=True),
+    )
+    amp = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(data, 8),
+        FactorArguments(
+            use_empirical_fisher=True, amp_dtype="float16", amp_scale=2.0**10
+        ),
+    )
+    a = np.asarray(base[GRADIENT_COVARIANCE_MATRIX_NAME]["fc"], np.float64)
+    b = np.asarray(amp[GRADIENT_COVARIANCE_MATRIX_NAME]["fc"], np.float64)
+    assert np.abs(a - b).max() / np.abs(a).max() < 2e-2
