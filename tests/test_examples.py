@@ -58,5 +58,10 @@ def test_example_runs(module_name, tmp_path, monkeypatch):
     argv = ["prog"] + EXAMPLES[module_name] + ["--output_dir", str(tmp_path)]
     monkeypatch.setattr(sys, "argv", argv)
     script = REPO / (module_name.replace(".", "/") + ".py")
+    # A site-packages `examples` namespace dir can win the resolution race if
+    # `examples` was imported before this module prepended REPO to sys.path;
+    # drop any stale entries so `from examples.common import …` resolves here.
+    for name in [m for m in sys.modules if m == "examples" or m.startswith("examples.")]:
+        del sys.modules[name]
     # run as __main__ so the argparse entry point executes
     runpy.run_path(str(script), run_name="__main__")
