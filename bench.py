@@ -143,7 +143,8 @@ def main():
 
     factor_args = smart_low_precision_factor_arguments(strategy="ekfac")
     factor_args.use_empirical_fisher = True
-    # On-device blocked-Jacobi eigensolver (ops/eigh.py).
+    # On-device fp32 eigendecomposition (XLA QDWH by default; compile is
+    # one-time per shape and persisted in .jax_cache).
     factor_args.eigendecomposition_dtype = "float32"
     score_args = smart_low_precision_score_arguments()
 

@@ -65,6 +65,12 @@ class FactorArguments(Arguments):
     # Eigendecomposition configuration. float64 runs on the host (LAPACK);
     # float32 runs on-device.
     eigendecomposition_dtype: Any = "float64"
+    # On-device solver (TPU extension, no reference analogue): "auto"/"qdwh"
+    # uses XLA's built-in eigh (fastest steady state; one-time multi-minute
+    # compile per matrix shape, persisted in the compilation cache); "jacobi"
+    # uses the custom blocked-Jacobi solver (ops/eigh.py — compiles in
+    # seconds, ~3-4x slower per run). Ignored by the float64 host path.
+    eigendecomposition_solver: str = "auto"
 
     # Lambda-matrix configuration.
     lambda_max_examples: Optional[int] = 100_000
@@ -78,6 +84,10 @@ class FactorArguments(Arguments):
     def __post_init__(self) -> None:
         if self.strategy not in ("identity", "diagonal", "kfac", "ekfac"):
             raise ValueError(f"Unknown strategy: {self.strategy!r}.")
+        if self.eigendecomposition_solver not in ("auto", "qdwh", "jacobi"):
+            raise ValueError(
+                "`eigendecomposition_solver` must be 'auto', 'qdwh', or 'jacobi'."
+            )
         for name in ("covariance_max_examples", "lambda_max_examples"):
             value = getattr(self, name)
             if value is not None and value <= 0:

@@ -72,11 +72,18 @@ _FACTOR_PAIRS = (
 )
 
 
-def _device_eigendecomposition(covariance_factors, eigen_factors) -> None:
-    """fp32 on-device path: normalization, symmetrization, and the blocked
-    Jacobi eigensolver (ops/eigh.py) all run on the accelerator, batched over
-    same-dimension factor matrices; nothing round-trips to the host."""
-    from kronfluence_tpu.ops.eigh import eigh_batched
+def _device_eigendecomposition(covariance_factors, eigen_factors, solver="auto") -> None:
+    """fp32 on-device path: normalization, symmetrization, and the eigensolver
+    all run on the accelerator, batched over same-dimension factor matrices;
+    nothing round-trips to the host.
+
+    Solvers: "auto"/"qdwh" = XLA's built-in eigh (fastest steady state, slow
+    one-time compile per shape, amortized by the persistent cache); "jacobi" =
+    the custom blocked-Jacobi solver (compiles in seconds; ~3-4x slower runs).
+    """
+    from kronfluence_tpu.ops.eigh import eigh_batched, eigh_stock_batched
+
+    solve = eigh_batched if solver == "jacobi" else eigh_stock_batched
 
     for cov_name, count_name, evec_name, eval_name in _FACTOR_PAIRS:
         groups: Dict[int, list] = {}
@@ -93,7 +100,7 @@ def _device_eigendecomposition(covariance_factors, eigen_factors) -> None:
                 ]
             )
             normalized = _normalize_stacked(stacked, counts)
-            evals, evecs = eigh_batched(normalized)
+            evals, evecs = solve(normalized)
             out_dtype = stacked.dtype
             for i, module_name in enumerate(names):
                 eigen_factors[eval_name][module_name] = evals[i].astype(out_dtype)
@@ -143,7 +150,8 @@ def perform_eigendecomposition(
         )
     }
     if dtype_name == "float32" and jax.default_backend() != "cpu":
-        _device_eigendecomposition(covariance_factors, eigen_factors)
+        solver = getattr(factor_args, "eigendecomposition_solver", "auto")
+        _device_eigendecomposition(covariance_factors, eigen_factors, solver)
     else:
         _host_eigendecomposition(covariance_factors, eigen_factors, dtype_name)
     return eigen_factors

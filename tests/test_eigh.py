@@ -49,6 +49,33 @@ def test_clustered_spectrum():
     assert np.abs(evals - ref).max() < 5e-5 * np.abs(ref).max()
 
 
+def test_stock_solver_matches_lapack():
+    from kronfluence_tpu.ops.eigh import eigh_stock_batched
+
+    n = 96
+    a = _psd_batch(5, n, seed=7, ill_conditioned_first=False)
+    # Tiny budget forces the chunked path (5 matrices, 2 per chunk).
+    evals, vecs = eigh_stock_batched(jnp.asarray(a), budget_elems=2 * n * n)
+    evals, vecs = np.asarray(evals, np.float64), np.asarray(vecs, np.float64)
+    for i in range(a.shape[0]):
+        ref = np.linalg.eigh(a[i].astype(np.float64))[0]
+        scale = np.abs(ref).max()
+        assert np.abs(evals[i] - ref).max() / scale < 5e-5
+        recon = (vecs[i] * evals[i]) @ vecs[i].T
+        assert np.abs(recon - a[i]).max() / scale < 5e-5
+
+
+def test_solver_argument_validation():
+    import pytest as _pytest
+
+    from kronfluence_tpu.arguments import FactorArguments
+
+    FactorArguments(eigendecomposition_solver="jacobi")
+    FactorArguments(eigendecomposition_solver="qdwh")
+    with _pytest.raises(ValueError):
+        FactorArguments(eigendecomposition_solver="magic")
+
+
 def test_batch_chunking_consistency():
     # Force the internal batch-chunking path with a tiny budget via many mats.
     n = 80
