@@ -34,6 +34,7 @@ from kronfluence_tpu.utils.constants import (
 from kronfluence_tpu.utils.dataset import (
     BatchLoader,
     DataLoaderKwargs,
+    ProgressLoader,
     dataset_length,
     dataset_metadata,
     make_indices_partition,
@@ -106,10 +107,19 @@ class Computer:
         arg_dict = arguments.to_dict()
         if path.exists() and not overwrite_output_dir:
             existing = load_json(path)
-            if existing != arg_dict:
+            # Compare on the key intersection: artifacts written by an older
+            # library version lack newly-added fields; those run at their
+            # defaults rather than invalidating the directory.
+            shared = set(existing) & set(arg_dict)
+            if {k: existing[k] for k in shared} != {k: arg_dict[k] for k in shared}:
                 raise ValueError(
                     f"Found existing arguments at {path} that differ from the current "
                     "ones. Use `overwrite_output_dir=True` to overwrite."
+                )
+            if set(arg_dict) - set(existing):
+                self.logger.info(
+                    f"Existing arguments at {path} predate fields "
+                    f"{sorted(set(arg_dict) - set(existing))}; continuing with defaults."
                 )
         else:
             save_json(arg_dict, path)
@@ -155,12 +165,14 @@ class Computer:
             per_device_batch_size = self._find_executable_batch_size(
                 dataset, total, initial_per_device_batch_size_attempt
             )
-        return BatchLoader(
+        loader = BatchLoader(
             dataset,
             self.global_batch_size(per_device_batch_size),
             indices,
             dataloader_kwargs=dataloader_kwargs or self._dataloader_params,
         )
+        disable = self.disable_tqdm or jax.process_index() != 0
+        return ProgressLoader(loader, desc="Batches", disable=disable)
 
     def _find_executable_batch_size(
         self, dataset: Any, total: int, initial_attempt: int

@@ -197,6 +197,46 @@ def _prefetched(source: Iterator, depth: int) -> Iterator:
         yield item
 
 
+TQDM_BAR_FORMAT = (
+    "{desc} [{bar:10}] {percentage:3.0f}% | {n_fmt}/{total_fmt} [time left: {remaining}, time spent: {elapsed}]"
+)
+
+
+class ProgressLoader:
+    """Transparent loader wrapper adding a tqdm bar per iteration pass.
+
+    Delegates every attribute to the wrapped loader (num_examples,
+    batch_size, …) so stage drivers are oblivious. The bar is emitted only
+    when enabled (main process, tqdm not disabled) — the analogue of the
+    reference's main-process-gated tqdm (utils/logger.py:14-16).
+    """
+
+    def __init__(self, loader: Any, desc: str = "", disable: bool = False) -> None:
+        self._loader = loader
+        self._desc = desc
+        self._disable = disable
+
+    def __getattr__(self, name: str) -> Any:
+        return getattr(self._loader, name)
+
+    def __len__(self) -> int:
+        return len(self._loader)
+
+    def __iter__(self):
+        if self._disable:
+            return iter(self._loader)
+        from tqdm import tqdm
+
+        return iter(
+            tqdm(
+                iter(self._loader),
+                total=len(self._loader),
+                desc=self._desc,
+                bar_format=TQDM_BAR_FORMAT,
+            )
+        )
+
+
 def dataset_metadata(dataset: Any, indices: Optional[Sequence[int]] = None) -> Dict[str, Any]:
     """Dataset fingerprint persisted next to artifacts (reference: computer.py:160-191)."""
     return {
