@@ -336,3 +336,81 @@ def test_amp_float16_loss_scaling():
     a = np.asarray(base[GRADIENT_COVARIANCE_MATRIX_NAME]["fc"], np.float64)
     b = np.asarray(amp[GRADIENT_COVARIANCE_MATRIX_NAME]["fc"], np.float64)
     assert np.abs(a - b).max() / np.abs(a).max() < 2e-2
+
+
+def test_score_partition_resume_reuses_artifacts(tmp_path):
+    """Preemption-safe score resume (reference: score_computer.py:276-380):
+    a rerun loads completed partitions from disk instead of recomputing —
+    proven by planting a sentinel in a saved partition artifact and checking
+    it lands in the final aggregate."""
+    from kronfluence_tpu import Analyzer
+    from kronfluence_tpu.computer.score_computer import pairwise_scores_save_path
+    from kronfluence_tpu.utils.save import load_file, save_file
+
+    model, params, task = make_mlp()
+    data = make_regression_data(12)
+    queries = make_regression_data(4, seed=5)
+    factor_args = FactorArguments(strategy="ekfac", **FP64_FACTOR)
+    score_args = ScoreArguments(data_partitions=2, score_dtype="float64",
+                                per_sample_gradient_dtype="float64",
+                                precondition_dtype="float64")
+    analyzer = Analyzer("resume_test", model, task, params=params, output_dir=str(tmp_path))
+    analyzer.fit_all_factors("f", data, per_device_batch_size=4, factor_args=factor_args)
+
+    # Job 1: compute only partition 0 (the "preempted" run).
+    analyzer.compute_pairwise_scores(
+        "s", "f", queries, data, per_device_query_batch_size=4,
+        per_device_train_batch_size=4, score_args=score_args,
+        target_data_partitions=[0],
+    )
+    scores_dir = analyzer.scores_output_dir("s")
+    part_path = pairwise_scores_save_path(scores_dir, (0, 0))
+    assert part_path.exists()
+    assert not pairwise_scores_save_path(scores_dir).exists()
+
+    # Plant a sentinel: if the rerun recomputed partition 0 the sentinel
+    # would be overwritten with real scores.
+    planted = {k: np.full_like(v, 123.0) for k, v in load_file(part_path).items()}
+    save_file(planted, part_path)
+
+    # Job 2: full run resumes — partition 0 loaded, partition 1 computed.
+    analyzer.compute_pairwise_scores(
+        "s", "f", queries, data, per_device_query_batch_size=4,
+        per_device_train_batch_size=4, score_args=score_args,
+    )
+    final = analyzer.load_pairwise_scores("s")[ALL_MODULE_NAME]
+    assert final.shape == (4, 12)
+    np.testing.assert_array_equal(final[:, :6], 123.0)
+    assert not np.allclose(final[:, 6:], 123.0)
+
+
+def test_new_argument_fields_do_not_invalidate_old_artifacts(tmp_path):
+    """Artifact dirs written before a field existed stay resumable: the
+    argument-conflict check compares on the key intersection."""
+    import json
+
+    from kronfluence_tpu import Analyzer
+
+    model, params, task = make_mlp()
+    data = make_regression_data(8)
+    factor_args = FactorArguments(strategy="ekfac", **FP64_FACTOR)
+    analyzer = Analyzer("argcompat", model, task, params=params, output_dir=str(tmp_path))
+    analyzer.fit_all_factors("f", data, per_device_batch_size=4, factor_args=factor_args)
+
+    args_path = analyzer.factors_output_dir("f") / "factor_arguments.json"
+    saved = json.loads(args_path.read_text())
+    removed = saved.pop("eigendecomposition_solver")  # simulate an old version's file
+    args_path.write_text(json.dumps(saved))
+
+    # Rerun: must skip cleanly (no conflict error from the missing field)...
+    analyzer.fit_all_factors("f", data, per_device_batch_size=4, factor_args=factor_args)
+    # ...but a genuine mismatch on a shared field must still raise. Remove an
+    # artifact so the stage is incomplete (a complete stage skips before the
+    # args check, mirroring the reference's skip-if-exists ordering).
+    (analyzer.factors_output_dir("f") / "activation_covariance.safetensors").unlink()
+    changed = FactorArguments(strategy="diagonal", **FP64_FACTOR)
+    with pytest.raises(ValueError, match="differ"):
+        analyzer.fit_covariance_matrices(
+            "f", data, per_device_batch_size=4, factor_args=changed
+        )
+    assert removed == "auto"
