@@ -36,15 +36,17 @@ REF_EIGH_S = 7.8
 REF_PAIRS_PER_S = REF_QUERY * REF_TRAIN / REF_SCORE_S  # ~1186 pairs/s
 
 # Bench sizes (steady-state rates, extrapolated to the full workload).
-N_COV = 512
-N_LAMBDA = 256
-N_QUERY = 40
-N_TRAIN = 1024
+# KRON_BENCH_* env vars override the batch knobs for tuning experiments.
+_env = lambda name, default: int(os.environ.get(f"KRON_BENCH_{name}", default))
+N_COV = _env("N_COV", 512)
+N_LAMBDA = _env("N_LAMBDA", 256)
+N_QUERY = _env("N_QUERY", 40)
+N_TRAIN = _env("N_TRAIN", 1024)
 SEQ = 512
-COV_BATCH = 16
-LAMBDA_BATCH = 16
-QUERY_BATCH = 40
-TRAIN_BATCH = 16
+COV_BATCH = _env("COV_BATCH", 16)
+LAMBDA_BATCH = _env("LAMBDA_BATCH", 16)
+QUERY_BATCH = _env("QUERY_BATCH", 40)
+TRAIN_BATCH = _env("TRAIN_BATCH", 16)
 
 
 def log(msg):

@@ -88,6 +88,25 @@ class Computer:
         self._dataloader_params = DataLoaderKwargs()
         self._specs_cache: Optional[Dict[str, Any]] = None
 
+    def _save_profile_summary(self, stage_name: str) -> None:
+        """Persists the profiler table per stage (reference: computer.py:324-334
+        writes `{output}/profiler_output/*_rank_{r}_{time}.txt`)."""
+        if isinstance(self.profiler, PassThroughProfiler) and not isinstance(
+            self.profiler, Profiler
+        ):
+            return
+        summary = self.profiler.summary()
+        if not summary:
+            return
+        import time as _time
+
+        profile_dir = self.output_dir / "profiler_output"
+        profile_dir.mkdir(parents=True, exist_ok=True)
+        rank = jax.process_index()
+        path = profile_dir / f"{stage_name}_rank_{rank}_{int(_time.time())}.txt"
+        path.write_text(summary + "\n")
+        self.logger.info(f"Saved profiler summary at {path}.")
+
     # -- Directory layout (reference: computer.py:127-133). --
     def factors_output_dir(self, factors_name: str) -> Path:
         return (self.output_dir / (FACTOR_SAVE_PREFIX + factors_name)).resolve()

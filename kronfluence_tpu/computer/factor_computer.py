@@ -139,6 +139,7 @@ class FactorComputer(Computer):
             eigen = _perform_eigendecomposition(covariance, factor_args, self.profiler)
         factor_io.save_eigendecomposition(factors_dir, eigen)
         self.logger.info(f"Saved eigendecomposition results at {factors_dir}.")
+        self._save_profile_summary("eigendecomposition")
 
     def fit_lambda_matrices(
         self,
@@ -251,6 +252,7 @@ class FactorComputer(Computer):
             with self.profiler.profile(f"Save {stage.capitalize()}"):
                 save_fn(factors_dir, factors)
             self.logger.info(f"Saved {stage} factors at {factors_dir}.")
+            self._save_profile_summary(stage)
             return
 
         data_targets = (
@@ -287,6 +289,7 @@ class FactorComputer(Computer):
             aggregated = _aggregate_sum(per_partition, count_names)
             save_fn(factors_dir, aggregated)
             self.logger.info(f"Saved aggregated {stage} factors at {factors_dir}.")
+        self._save_profile_summary(stage)
 
     # -- Loaders for user access (reference: computer factor load helpers). --
     def load_covariance_matrices(self, factors_name: str):

@@ -135,6 +135,7 @@ class ScoreComputer(Computer):
         with self.profiler.profile("Save Pairwise Score"):
             save_file(aggregated, pairwise_scores_save_path(scores_dir))
         self.logger.info(f"Saved pairwise scores at {scores_dir}.")
+        self._save_profile_summary("pairwise_score")
 
     def _run_score_partitions(
         self,
@@ -274,6 +275,7 @@ class ScoreComputer(Computer):
         with self.profiler.profile("Save Self-Influence Score"):
             save_file(aggregated, self_scores_save_path(scores_dir))
         self.logger.info(f"Saved self-influence scores at {scores_dir}.")
+        self._save_profile_summary("self_score")
 
     def load_pairwise_scores(self, scores_name: str) -> Dict[str, np.ndarray]:
         return dict(load_file(pairwise_scores_save_path(self.scores_output_dir(scores_name))))
