@@ -99,6 +99,31 @@ def _build_train_step(model, task, tracked, score_args, per_module, mesh=None):
     remat = score_args.offload_activations_to_cpu
     out_shardings = replicated(mesh) if mesh is not None else None
 
+    def _chunk_score(cap, name, valid, pg):
+        """Score slab (q_chunk, b[, t]) for one preconditioned query chunk."""
+        if post_process:
+            # Post-processed train gradients must be materialized
+            # (reference: pairwise_score.py:95-103), for BOTH dense and
+            # low-rank preconditioned query gradients.
+            train_psg = module_per_sample_gradients(cap, valid, psg_dtype, task, name)
+            if isinstance(pg, tuple):
+                left, right = pg
+                return jnp.einsum(
+                    "qor,qri,boi->qb",
+                    left.astype(psg_dtype), right.astype(psg_dtype), train_psg,
+                    optimize="optimal",
+                ).astype(score_dtype)
+            return jnp.einsum(
+                "qoi,boi->qb", pg.astype(psg_dtype), train_psg
+            ).astype(score_dtype)
+        score = None
+        for a, dy in zip(cap.activations, cap.output_gradients):
+            a_tok = activation_tokens_with_bias(cap.spec, a, psg_dtype)
+            g_tok = gradient_tokens(cap.spec, dy, valid, psg_dtype)
+            contrib = pairwise_score(pg, a_tok, g_tok, per_token, score_dtype)
+            score = contrib if score is None else score + contrib
+        return score
+
     @partial(jax.jit, out_shardings=out_shardings)
     def train_step(params, batch, valid, query_block):
         params = cast_params(params, amp_dtype)
@@ -108,31 +133,11 @@ def _build_train_step(model, task, tracked, score_args, per_module, mesh=None):
         _, captures = capture(forward, tracked, remat=remat)
         per_module_scores = {}
         for name, cap in captures.items():
-            pg = query_block[name]
-            if post_process:
-                # Post-processed train gradients must be materialized
-                # (reference: pairwise_score.py:95-103), for BOTH dense and
-                # low-rank preconditioned query gradients.
-                train_psg = module_per_sample_gradients(cap, valid, psg_dtype, task, name)
-                if isinstance(pg, tuple):
-                    left, right = pg
-                    score = jnp.einsum(
-                        "qor,qri,boi->qb",
-                        left.astype(psg_dtype), right.astype(psg_dtype), train_psg,
-                        optimize="optimal",
-                    ).astype(score_dtype)
-                else:
-                    score = jnp.einsum(
-                        "qoi,boi->qb", pg.astype(psg_dtype), train_psg
-                    ).astype(score_dtype)
-            else:
-                score = None
-                for a, dy in zip(cap.activations, cap.output_gradients):
-                    a_tok = activation_tokens_with_bias(cap.spec, a, psg_dtype)
-                    g_tok = gradient_tokens(cap.spec, dy, valid, psg_dtype)
-                    contrib = pairwise_score(pg, a_tok, g_tok, per_token, score_dtype)
-                    score = contrib if score is None else score + contrib
-            per_module_scores[name] = score
+            chunks = query_block[name]  # list: one entry per accumulation step
+            slabs = [_chunk_score(cap, name, valid, pg) for pg in chunks]
+            per_module_scores[name] = (
+                slabs[0] if len(slabs) == 1 else jnp.concatenate(slabs, axis=0)
+            )
         if per_module:
             return per_module_scores
         total = None
@@ -172,19 +177,16 @@ def _build_summed_gradient_step(
     return sum_step
 
 
-def _concat_blocks(blocks: List[Dict[str, Any]]) -> Dict[str, Any]:
-    """Concatenates per-module query gradients across accumulation steps
-    (reference: tracker/precondition.py:216-240)."""
-    out = {}
+def _collect_blocks(blocks: List[Dict[str, Any]]) -> Dict[str, List[Any]]:
+    """Groups per-module query gradients across accumulation steps
+    (reference: tracker/precondition.py:216-240 concatenates; here the chunks
+    stay separate — materializing the concatenation alongside the chunks
+    would transiently double the query block's HBM footprint, the largest
+    resident of the whole score stage. The train step contracts each chunk
+    and concatenates the (q_chunk, b) score slabs instead, which are tiny)."""
+    out: Dict[str, List[Any]] = {}
     for name in blocks[0]:
-        vals = [b[name] for b in blocks]
-        if isinstance(vals[0], tuple):
-            out[name] = (
-                jnp.concatenate([v[0] for v in vals], axis=0),
-                jnp.concatenate([v[1] for v in vals], axis=0),
-            )
-        else:
-            out[name] = jnp.concatenate(vals, axis=0)
+        out[name] = [b[name] for b in blocks]
     return out
 
 
@@ -247,7 +249,7 @@ def compute_pairwise_scores_with_loaders(
                 pg = strategy_config.precondition(
                     summed[None].astype(precond_dtype), precondition_states[name]
                 )
-                block[name] = pg.astype(score_dtype)
+                block[name] = [pg.astype(score_dtype)]
             yield block
     else:
         def query_blocks_iter():
@@ -274,10 +276,10 @@ def compute_pairwise_scores_with_loaders(
                     )
                 )
                 if len(pending) == accumulation:
-                    yield _concat_blocks(pending)
+                    yield _collect_blocks(pending)
                     pending = []
             if pending:
-                yield _concat_blocks(pending)
+                yield _collect_blocks(pending)
 
     if score_args.aggregate_train_gradients:
         def train_pass(query_block):
@@ -352,16 +354,19 @@ def _aggregated_train_pass(
 
     @jax.jit
     def contract(query_block, total):
-        per_module_scores = {}
-        for name, pg in query_block.items():
-            summed = total[name].astype(psg_dtype)
+        def one(pg, summed):
             if isinstance(pg, tuple):
                 left, right = pg
-                score = jnp.einsum(
+                return jnp.einsum(
                     "qor,qri,oi->q", left.astype(psg_dtype), right.astype(psg_dtype), summed
                 )[:, None]
-            else:
-                score = jnp.einsum("qoi,oi->q", pg.astype(psg_dtype), summed)[:, None]
+            return jnp.einsum("qoi,oi->q", pg.astype(psg_dtype), summed)[:, None]
+
+        per_module_scores = {}
+        for name, chunks in query_block.items():
+            summed = total[name].astype(psg_dtype)
+            slabs = [one(pg, summed) for pg in chunks]
+            score = slabs[0] if len(slabs) == 1 else jnp.concatenate(slabs, axis=0)
             per_module_scores[name] = score.astype(score_dtype)
         if per_module:
             return per_module_scores
