@@ -46,7 +46,9 @@ SEQ = 512
 COV_BATCH = _env("COV_BATCH", 16)
 LAMBDA_BATCH = _env("LAMBDA_BATCH", 16)
 QUERY_BATCH = _env("QUERY_BATCH", 40)
+QUERY_ACC = _env("QUERY_ACC", 1)  # accumulation steps -> block = BATCH * ACC
 TRAIN_BATCH = _env("TRAIN_BATCH", 16)
+N_QUERY = max(N_QUERY, QUERY_BATCH * QUERY_ACC)
 
 
 def log(msg):
@@ -149,6 +151,7 @@ def main():
     # one-time per shape and persisted in .jax_cache).
     factor_args.eigendecomposition_dtype = "float32"
     score_args = smart_low_precision_score_arguments()
+    score_args.query_gradient_accumulation_steps = QUERY_ACC
 
     def force(tree):
         jax.block_until_ready(tree)
@@ -209,10 +212,15 @@ def main():
     log(f"lambda steady: {lam_rate:.1f} ex/s")
 
     # EKFAC preconditioning needs only the eigendecomposition + lambda
-    # artifacts (reference load_all_factors requirements matrix); keeping the
-    # covariances alive on device would waste HBM during scoring.
-    del cov
-    factors = {**eigen, **lam}
+    # artifacts (reference load_all_factors requirements matrix). Mirror the
+    # real Analyzer path: factors live on the host (load_all_factors reads
+    # safetensors) and only the derived precondition states are
+    # device-resident during scoring — keeping device copies alive would
+    # waste ~1 GB of HBM that the score stage needs for query blocks.
+    from kronfluence_tpu.utils.platform import fetch_tree
+
+    factors = fetch_tree({**eigen, **lam})
+    del cov, eigen, lam
 
     # ---- Stage 4: pairwise scores ----
     query_data = make_data(N_QUERY, 5)

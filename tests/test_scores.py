@@ -123,6 +123,24 @@ def test_query_accumulation_invariance(setup):
                                rtol=1e-8, atol=1e-10)
 
 
+def test_low_rank_with_accumulation_invariance(setup):
+    """Low-rank compression composed with query accumulation (per-chunk query
+    blocks): per-query SVDs are independent of chunk boundaries, so results
+    must equal the single-batch low-rank run exactly."""
+    model, params, task, train, query, factors, fargs = setup
+    base = _pairwise(
+        model, params, task, factors, fargs, query, train,
+        qbs=5, query_gradient_low_rank=8, use_full_svd=True,
+    )
+    accum = _pairwise(
+        model, params, task, factors, fargs, query, train,
+        qbs=1, query_gradient_accumulation_steps=3,
+        query_gradient_low_rank=8, use_full_svd=True,
+    )
+    np.testing.assert_allclose(base[ALL_MODULE_NAME], accum[ALL_MODULE_NAME],
+                               rtol=1e-8, atol=1e-10)
+
+
 def test_aggregated_query_gradients_equal_summed_scores(setup):
     model, params, task, train, query, factors, fargs = setup
     base = _pairwise(model, params, task, factors, fargs, query, train)
