@@ -99,6 +99,19 @@ def _build_train_step(model, task, tracked, score_args, per_module, mesh=None):
     remat = score_args.offload_activations_to_cpu
     out_shardings = replicated(mesh) if mesh is not None else None
 
+    def _chunk_score_psg(train_psg, pg):
+        """Score slab against materialized train per-sample gradients."""
+        if isinstance(pg, tuple):
+            left, right = pg
+            return jnp.einsum(
+                "qor,qri,boi->qb",
+                left.astype(psg_dtype), right.astype(psg_dtype), train_psg,
+                optimize="optimal",
+            ).astype(score_dtype)
+        return jnp.einsum(
+            "qoi,boi->qb", pg.astype(psg_dtype), train_psg
+        ).astype(score_dtype)
+
     def _chunk_score(cap, name, valid, pg):
         """Score slab (q_chunk, b[, t]) for one preconditioned query chunk."""
         if post_process:
@@ -134,7 +147,20 @@ def _build_train_step(model, task, tracked, score_args, per_module, mesh=None):
         per_module_scores = {}
         for name, cap in captures.items():
             chunks = query_block[name]  # list: one entry per accumulation step
-            slabs = [_chunk_score(cap, name, valid, pg) for pg in chunks]
+            if len(chunks) == 1:
+                slabs = [_chunk_score(cap, name, valid, chunks[0])]
+            elif per_token:
+                # Rare combination; the q-independent intermediate for
+                # per-token scores is (b, t, o, i) — too large to hoist.
+                slabs = [_chunk_score(cap, name, valid, pg) for pg in chunks]
+            else:
+                # Hoist the q-independent per-sample gradients out of the
+                # chunk loop: the (b, t, o/i) -> (b, o, i) contraction is the
+                # expensive part and must not be repeated per chunk.
+                train_psg = module_per_sample_gradients(
+                    cap, valid, psg_dtype, task if post_process else None, name
+                )
+                slabs = [_chunk_score_psg(train_psg, pg) for pg in chunks]
             per_module_scores[name] = (
                 slabs[0] if len(slabs) == 1 else jnp.concatenate(slabs, axis=0)
             )
