@@ -15,5 +15,23 @@ def cached_step(model: Any, key: Hashable, builder: Callable[[], Any]) -> Any:
     return cache[key]
 
 
+def cached_value(model: Any, key: Hashable, anchor: Any, builder: Callable[[], Any]) -> Any:
+    """Cache keyed on `key` AND the identity of `anchor`.
+
+    Used for device-resident state derived from large host inputs (e.g.
+    precondition states derived from loaded factors): partitioned score runs
+    invoke the stage driver once per partition with the same factors, and
+    re-deriving would re-transfer gigabytes host->device each time. The cache
+    holds a strong reference to `anchor`, so its id() cannot be recycled by
+    a new object (the stale-id hazard of bare id() keys)."""
+    cache = model.__dict__.setdefault("_value_cache", {})
+    entry = cache.get(key)
+    if entry is not None and entry[0] is anchor:
+        return entry[1]
+    value = builder()
+    cache[key] = (anchor, value)
+    return value
+
+
 def tracked_key(tracked_names) -> Hashable:
     return tuple(sorted(tracked_names)) if tracked_names is not None else None
