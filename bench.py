@@ -45,8 +45,11 @@ N_TRAIN = _env("N_TRAIN", 1024)
 SEQ = 512
 COV_BATCH = _env("COV_BATCH", 16)
 LAMBDA_BATCH = _env("LAMBDA_BATCH", 16)
-QUERY_BATCH = _env("QUERY_BATCH", 40)
-QUERY_ACC = _env("QUERY_ACC", 1)  # accumulation steps -> block = BATCH * ACC
+# Query blocks: small per-step batches accumulated into a 56-query block —
+# big blocks amortize the train-side backward, small steps bound the peak HBM
+# of query-gradient capture (the chunked-block design in score/pairwise.py).
+QUERY_BATCH = _env("QUERY_BATCH", 8)
+QUERY_ACC = _env("QUERY_ACC", 7)  # accumulation steps -> block = BATCH * ACC
 TRAIN_BATCH = _env("TRAIN_BATCH", 16)
 N_QUERY = max(N_QUERY, QUERY_BATCH * QUERY_ACC)
 
