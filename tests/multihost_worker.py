@@ -79,6 +79,37 @@ def main():
                 flat[f"{factor}.{name}"] = np.asarray(arr)
         save_file(flat, os.path.join(outdir, "multihost_factors.safetensors"))
     distributed.sync_global_devices("saved")
+
+    # Full pipeline through pairwise scores on the multi-host mesh: eigh +
+    # lambda + query/train passes, score assembly on every process (score
+    # outputs are replicated), save gated to process 0.
+    from kronfluence_tpu.factor.eigen import (
+        fit_lambda_matrices_with_loader,
+        perform_eigendecomposition,
+    )
+    from kronfluence_tpu.score.pairwise import compute_pairwise_scores_with_loaders
+    from kronfluence_tpu.utils.common.score_arguments import pytest_score_arguments
+    from kronfluence_tpu.utils.constants import ALL_MODULE_NAME
+
+    eigen = perform_eigendecomposition(cov, args)
+    lam = fit_lambda_matrices_with_loader(
+        model, params, task, BatchLoader(data, 8), args, eigen_factors=eigen, mesh=mesh
+    )
+    queries = {
+        "x": rng.standard_normal((8, 6)),
+        "y": rng.standard_normal((8, 2)),
+    }
+    scores = compute_pairwise_scores_with_loaders(
+        model, params, task, BatchLoader(queries, 8), BatchLoader(data, 8),
+        {**cov, **eigen, **lam}, args, pytest_score_arguments(), mesh=mesh,
+    )
+    distributed.sync_global_devices("scores_done")
+    if distributed.is_main_process():
+        save_file(
+            {"scores": np.asarray(scores[ALL_MODULE_NAME])},
+            os.path.join(outdir, "multihost_scores.safetensors"),
+        )
+    distributed.sync_global_devices("scores_saved")
     print(f"worker {rank}: OK", flush=True)
 
 

@@ -73,9 +73,10 @@ def test_two_process_factors_match_single(tmp_path):
     module = MLP()
     params = module.init(jax.random.PRNGKey(0), jnp.asarray(data["x"][:1]))["params"]
     task = RegressionTask()
+    model = prepare_model(module, task)
+    args = pytest_factor_arguments()
     cov = fit_covariance_matrices_with_loader(
-        prepare_model(module, task), params, task, BatchLoader(data, 8),
-        pytest_factor_arguments(),
+        model, params, task, BatchLoader(data, 8), args
     )
     checked = 0
     for factor, modules in cov.items():
@@ -86,3 +87,26 @@ def test_two_process_factors_match_single(tmp_path):
             )
             checked += 1
     assert checked >= 8
+
+    # Pairwise scores through the full multi-host pipeline match too.
+    from kronfluence_tpu.factor.eigen import (
+        fit_lambda_matrices_with_loader,
+        perform_eigendecomposition,
+    )
+    from kronfluence_tpu.score.pairwise import compute_pairwise_scores_with_loaders
+    from kronfluence_tpu.utils.common.score_arguments import pytest_score_arguments
+    from kronfluence_tpu.utils.constants import ALL_MODULE_NAME
+
+    eigen = perform_eigendecomposition(cov, args)
+    lam = fit_lambda_matrices_with_loader(
+        model, params, task, BatchLoader(data, 8), args, eigen_factors=eigen
+    )
+    queries = {"x": rng.standard_normal((8, 6)), "y": rng.standard_normal((8, 2))}
+    scores = compute_pairwise_scores_with_loaders(
+        model, params, task, BatchLoader(queries, 8), BatchLoader(data, 8),
+        {**cov, **eigen, **lam}, args, pytest_score_arguments(),
+    )
+    multihost_scores = load_file(tmp_path / "multihost_scores.safetensors")["scores"]
+    np.testing.assert_allclose(
+        multihost_scores, np.asarray(scores[ALL_MODULE_NAME]), rtol=1e-10, atol=1e-10
+    )
