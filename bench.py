@@ -43,8 +43,8 @@ N_LAMBDA = _env("N_LAMBDA", 256)
 N_QUERY = _env("N_QUERY", 40)
 N_TRAIN = _env("N_TRAIN", 1024)
 SEQ = 512
-COV_BATCH = _env("COV_BATCH", 16)
-LAMBDA_BATCH = _env("LAMBDA_BATCH", 16)
+COV_BATCH = _env("COV_BATCH", 16)   # 32 measured slightly worse (125 vs 131 ex/s)
+LAMBDA_BATCH = _env("LAMBDA_BATCH", 32)  # 32 measured ~6% faster than 16
 # Query blocks: small per-step batches accumulated into a 56-query block —
 # big blocks amortize the train-side backward, small steps bound the peak HBM
 # of query-gradient capture (the chunked-block design in score/pairwise.py).
