@@ -58,6 +58,29 @@ def _dense_spec(module: nn.Dense, x: jax.Array) -> LayerSpec:
     )
 
 
+def _is_hf_conv1d(module: nn.Module) -> bool:
+    """HuggingFace Flax GPT-2-family `FlaxConv1D` (a dense layer with a
+    transposed kernel). The reference forces users to rewrite these modules
+    into nn.Linear before analysis (examples/wikitext/pipeline.py:14-20);
+    capturing them directly needs no model surgery — only the (input,
+    output-gradient) streams matter, not the kernel layout."""
+    return (
+        type(module).__name__ == "FlaxConv1D"
+        and hasattr(module, "features")
+        and hasattr(module, "use_bias")
+    )
+
+
+def _hf_conv1d_spec(module: nn.Module, x: jax.Array) -> LayerSpec:
+    return LayerSpec(
+        name=module_name_of(module),
+        kind="linear",
+        has_bias=module.use_bias,
+        in_dim=x.shape[-1],
+        out_dim=module.features,
+    )
+
+
 def _conv_spec(module: nn.Conv, x: jax.Array) -> Optional[LayerSpec]:
     kernel_size = tuple(module.kernel_size)
     if len(kernel_size) != 2 or x.ndim != 4:
@@ -90,6 +113,8 @@ def capture_interceptor(next_fun, args, kwargs, context) -> Any:
         spec = _dense_spec(module, args[0])
     elif isinstance(module, nn.Conv) and not isinstance(module, nn.ConvTranspose):
         spec = _conv_spec(module, args[0])
+    elif _is_hf_conv1d(module):
+        spec = _hf_conv1d_spec(module, args[0])
     if spec is None or not ctx.is_tracked(spec.name):
         return next_fun(*args, **kwargs)
     x = args[0]
