@@ -139,3 +139,62 @@ def test_end_to_end_pipeline_runs(gpt2_setup):
     )
     assert scores[ALL_MODULE_NAME].shape == (B, B)
     assert np.isfinite(scores[ALL_MODULE_NAME]).all()
+
+
+class T5Task(Task):
+    def compute_train_loss(self, batch, model, sample=False, rng=None):
+        import optax
+
+        out = model(batch["input_ids"], batch["attention_mask"],
+                    batch["decoder_input_ids"], batch["decoder_attention_mask"])
+        logits = out.logits[:, :-1]
+        labels = batch["decoder_input_ids"][:, 1:]
+        mask = batch["decoder_attention_mask"][:, 1:].astype(logits.dtype)
+        if sample:
+            labels = jax.random.categorical(rng, jax.lax.stop_gradient(logits))
+        losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        return jnp.sum(losses * mask)
+
+    def compute_measurement(self, batch, model):
+        return self.compute_train_loss(batch, model)
+
+
+def test_flax_t5_encoder_decoder_pipeline():
+    """HF encoder-decoder (FlaxT5) works without surgery: 2 layers x
+    (enc self-attn qkvo + ff wi/wo) + (dec self-attn + cross-attn + ff) +
+    lm_head are all captured, and the factor pipeline runs."""
+    config = transformers.T5Config(vocab_size=96, d_model=16, d_kv=8, d_ff=32,
+                                   num_layers=2, num_heads=2, dropout_rate=0.0)
+    hf = transformers.FlaxT5ForConditionalGeneration(config, seed=0, dtype=jnp.float64)
+    task = T5Task()
+    model = prepare_model(hf.module, task)
+    params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float64), hf.params)
+    r = np.random.default_rng(0)
+    data = {
+        "input_ids": r.integers(1, 96, (4, 10)).astype(np.int32),
+        "attention_mask": np.ones((4, 10), np.int32),
+        "decoder_input_ids": r.integers(1, 96, (4, 8)).astype(np.int32),
+        "decoder_attention_mask": np.ones((4, 8), np.int32),
+    }
+    args = FactorArguments(
+        strategy="ekfac", use_empirical_fisher=True,
+        activation_covariance_dtype="float64", gradient_covariance_dtype="float64",
+        per_sample_gradient_dtype="float64", lambda_dtype="float64",
+    )
+    cov = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(data, 2), args
+    )
+    # 2 enc layers x 6 + 2 dec layers x 10 + lm_head = 33 captured modules.
+    assert len(cov[ACTIVATION_COVARIANCE_MATRIX_NAME]) == 33
+    eigen = perform_eigendecomposition(cov, args)
+    lam = fit_lambda_matrices_with_loader(
+        model, params, task, BatchLoader(data, 2), args, eigen_factors=eigen
+    )
+    scores = compute_pairwise_scores_with_loaders(
+        model, params, task, BatchLoader(data, 2), BatchLoader(data, 2),
+        {**cov, **eigen, **lam}, args,
+        ScoreArguments(score_dtype="float64", per_sample_gradient_dtype="float64",
+                       precondition_dtype="float64"),
+    )
+    assert scores[ALL_MODULE_NAME].shape == (4, 4)
+    assert np.isfinite(scores[ALL_MODULE_NAME]).all()
