@@ -21,7 +21,7 @@ from kronfluence_tpu.arguments import FactorArguments
 from kronfluence_tpu.capture.engine import capture, discover_specs
 from kronfluence_tpu.ops.covariance import gram
 from kronfluence_tpu.ops.flatten import flatten_activation, flatten_gradient
-from kronfluence_tpu.parallel.mesh import factor_sharding, replicated, shard_batch
+from kronfluence_tpu.parallel.mesh import device_prefetch, factor_sharding, replicated, shard_batch
 from kronfluence_tpu.prepare import PreparedModel
 from kronfluence_tpu.task import Task
 from kronfluence_tpu.utils.constants import (
@@ -201,13 +201,11 @@ def fit_covariance_matrices_with_loader(
     def run_batch(batch, valid):
         nonlocal state, step_idx
         rng = jax.random.fold_in(base_rng, step_idx)
-        batch = shard_batch(mesh, batch)
-        valid = shard_batch(mesh, valid)
         state = step(state, params, batch, valid, rng)
         step_idx += 1
 
-    run_batch(first_batch, first_valid)
-    for batch, valid in loader_iter:
+    run_batch(shard_batch(mesh, first_batch), shard_batch(mesh, first_valid))
+    for batch, valid in device_prefetch(loader_iter, mesh):
         run_batch(batch, valid)
 
     jax.block_until_ready(state)

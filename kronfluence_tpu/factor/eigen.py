@@ -31,7 +31,7 @@ from kronfluence_tpu.factor.config import get_factor_config
 from kronfluence_tpu.factor.covariance import cast_params, loss_scale_for, train_loss_forward
 from kronfluence_tpu.ops.covariance import per_sample_gradient as psg_op
 from kronfluence_tpu.ops.flatten import activation_tokens_with_bias, gradient_tokens
-from kronfluence_tpu.parallel.mesh import factor_sharding, replicated, shard_batch
+from kronfluence_tpu.parallel.mesh import device_prefetch, factor_sharding, replicated, shard_batch
 from kronfluence_tpu.prepare import PreparedModel
 from kronfluence_tpu.task import Task
 from kronfluence_tpu.utils.constants import (
@@ -330,13 +330,11 @@ def fit_lambda_matrices_with_loader(
     def run_batch(batch, valid):
         nonlocal state, step_idx
         rng = jax.random.fold_in(base_rng, step_idx)
-        batch = shard_batch(mesh, batch)
-        valid = shard_batch(mesh, valid)
         state = step(state, params, batch, valid, rng, q_a_host, q_g_host)
         step_idx += 1
 
-    run_batch(first_batch, first_valid)
-    for batch, valid in loader_iter:
+    run_batch(shard_batch(mesh, first_batch), shard_batch(mesh, first_valid))
+    for batch, valid in device_prefetch(loader_iter, mesh):
         run_batch(batch, valid)
     jax.block_until_ready(state)
 

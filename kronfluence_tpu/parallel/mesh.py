@@ -81,6 +81,35 @@ def shard_batch(mesh: Optional[Mesh], batch: Any) -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def device_prefetch(loader, mesh: Optional[Mesh], depth: int = 2):
+    """Iterates a (batch, valid) loader with device-transfer lookahead.
+
+    Issues `shard_batch` for up to `depth` upcoming batches before yielding
+    the current one, so host->device transfers overlap the running step
+    instead of adding latency between steps (JAX transfers are async; the
+    lookahead just starts them early). All stage loops route through this."""
+    import collections
+
+    it = iter(loader)
+    queue = collections.deque()
+
+    def enqueue():
+        try:
+            batch, valid = next(it)
+        except StopIteration:
+            return False
+        queue.append((shard_batch(mesh, batch), shard_batch(mesh, valid)))
+        return True
+
+    for _ in range(max(1, depth)):
+        if not enqueue():
+            break
+    while queue:
+        item = queue.popleft()
+        enqueue()
+        yield item
+
+
 def factor_sharding(mesh: Mesh, shape: Sequence[int]) -> NamedSharding:
     """Sharding for a factor matrix: shard the leading dim over `model` when
     it divides evenly (large-layer FSDP analogue), else replicate."""

@@ -33,7 +33,7 @@ from kronfluence_tpu.factor.covariance import cast_params, discover_stage_specs,
 from kronfluence_tpu.ops.flatten import activation_tokens_with_bias, gradient_tokens
 from kronfluence_tpu.ops.scores import pairwise_score
 from kronfluence_tpu.ops.svd import lowrank_factors_full, lowrank_factors_randomized
-from kronfluence_tpu.parallel.mesh import replicated, shard_batch
+from kronfluence_tpu.parallel.mesh import device_prefetch, replicated, shard_batch
 from kronfluence_tpu.prepare import PreparedModel
 from kronfluence_tpu.score.common import (
     measurement_forward,
@@ -274,9 +274,7 @@ def compute_pairwise_scores_with_loaders(
                 ),
             )
             total: Dict[str, jax.Array] = {}
-            for batch, valid in query_loader:
-                batch = shard_batch(mesh, batch)
-                valid_dev = shard_batch(mesh, valid)
+            for batch, valid_dev in device_prefetch(query_loader, mesh):
                 contrib = sum_step(params, batch, valid_dev)
                 for name, val in contrib.items():
                     total[name] = val if name not in total else total[name] + val
@@ -302,9 +300,7 @@ def compute_pairwise_scores_with_loaders(
             pending = []
             accumulation = score_args.query_gradient_accumulation_steps
             rng = jax.random.PRNGKey(0)
-            for idx, (batch, valid) in enumerate(query_loader):
-                batch = shard_batch(mesh, batch)
-                valid_dev = shard_batch(mesh, valid)
+            for idx, (batch, valid_dev) in enumerate(device_prefetch(query_loader, mesh)):
                 pending.append(
                     query_step(
                         params, batch, valid_dev,
@@ -335,9 +331,7 @@ def compute_pairwise_scores_with_loaders(
             # dispatch loop pipelines; one bulk fetch at the end (per-batch
             # np.asarray would serialize on the host link round-trip).
             module_chunks: Dict[str, List[Any]] = {}
-            for batch, valid in train_loader:
-                batch = shard_batch(mesh, batch)
-                valid_dev = shard_batch(mesh, valid)
+            for batch, valid_dev in device_prefetch(train_loader, mesh):
                 scores = train_step(params, batch, valid_dev, query_block)
                 for key, val in scores.items():
                     module_chunks.setdefault(key, []).append(val)
@@ -381,9 +375,7 @@ def _aggregated_train_pass(
     )
 
     total: Dict[str, jax.Array] = {}
-    for batch, valid in train_loader:
-        batch = shard_batch(mesh, batch)
-        valid_dev = shard_batch(mesh, valid)
+    for batch, valid_dev in device_prefetch(train_loader, mesh):
         contrib = sum_step(params, batch, valid_dev)
         for name, val in contrib.items():
             total[name] = val if name not in total else total[name] + val

@@ -18,7 +18,7 @@ from kronfluence_tpu.arguments import FactorArguments, ScoreArguments
 from kronfluence_tpu.capture.engine import capture
 from kronfluence_tpu.factor.config import get_factor_config
 from kronfluence_tpu.factor.covariance import cast_params, discover_stage_specs, train_loss_forward
-from kronfluence_tpu.parallel.mesh import replicated, shard_batch
+from kronfluence_tpu.parallel.mesh import device_prefetch, replicated, shard_batch
 from kronfluence_tpu.prepare import PreparedModel
 from kronfluence_tpu.score.common import (
     measurement_forward,
@@ -129,9 +129,7 @@ def compute_self_scores_with_loaders(
     # Device-resident chunks + one bulk fetch: keeps the dispatch loop
     # pipelined instead of serializing on per-batch host transfers.
     chunks: Dict[str, List[Any]] = {}
-    for batch, valid in train_loader:
-        batch = shard_batch(mesh, batch)
-        valid_dev = shard_batch(mesh, valid)
+    for batch, valid_dev in device_prefetch(train_loader, mesh):
         scores = step(params, batch, valid_dev, precondition_states)
         for key, val in scores.items():
             chunks.setdefault(key, []).append(val)
