@@ -70,24 +70,57 @@ def _count_from(mask: Optional[jax.Array], rows: int) -> jax.Array:
     return jnp.sum(mask.astype(jnp.int32))
 
 
+def _resolve_conv_pads(spec: LayerSpec, h: int, w: int):
+    """Resolves spec.padding to explicit ((lo,hi),(lo,hi)) pairs."""
+    kh, kw = spec.kernel_size
+    dh, dw = spec.kernel_dilation
+    eff = ((kh - 1) * dh + 1, (kw - 1) * dw + 1)
+    if isinstance(spec.padding, str):
+        return jax.lax.padtype_to_pads((h, w), eff, spec.strides, spec.padding.upper())
+    return [tuple(p) for p in spec.padding]
+
+
 def extract_conv2d_patches(x: jax.Array, spec: LayerSpec) -> jax.Array:
     """im2col for NHWC inputs -> (batch, positions, C_in/groups * Kh * Kw).
 
     Channel groups are mean-reduced first (reference: conv2d.py:55-57).
+
+    Patches are gathered with Kh*Kw static strided slices + one stack, NOT
+    `jax.lax.conv_general_dilated_patches`: XLA lowers the latter as a conv
+    with `feature_group_count = C` (group size 1), which cannot use the MXU
+    and runs at VPU speed — on a v5e it was the bottleneck of the whole conv
+    covariance stage. Feature ordering is channel-major (C, kh, kw), matching
+    torch `F.unfold`, so conv factor artifacts stay cross-framework
+    interchangeable (verified by tests/test_reference_parity_conv.py).
     """
     b, h, w, c = x.shape
     groups = spec.feature_group_count
     if groups > 1:
         x = x.reshape(b, h, w, groups, c // groups).mean(axis=3)
-    patches = jax.lax.conv_general_dilated_patches(
-        x,
-        filter_shape=spec.kernel_size,
-        window_strides=spec.strides,
-        padding=spec.padding,
-        rhs_dilation=spec.kernel_dilation,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    return patches.reshape(b, -1, patches.shape[-1])
+        c = c // groups
+    kh, kw = spec.kernel_size
+    sh, sw = spec.strides
+    dh, dw = spec.kernel_dilation
+    (ph_lo, ph_hi), (pw_lo, pw_hi) = _resolve_conv_pads(spec, h, w)
+    xp = jnp.pad(x, ((0, 0), (ph_lo, ph_hi), (pw_lo, pw_hi), (0, 0)))
+    hp, wp = xp.shape[1], xp.shape[2]
+    out_h = (hp - ((kh - 1) * dh + 1)) // sh + 1
+    out_w = (wp - ((kw - 1) * dw + 1)) // sw + 1
+    windows = []
+    for dy in range(kh):
+        for dx in range(kw):
+            y0, x0 = dy * dh, dx * dw
+            windows.append(
+                jax.lax.slice(
+                    xp,
+                    (0, y0, x0, 0),
+                    (b, y0 + (out_h - 1) * sh + 1, x0 + (out_w - 1) * sw + 1, c),
+                    (1, sh, sw, 1),
+                )
+            )
+    p = jnp.stack(windows, axis=3)  # (b, oh, ow, kh*kw, c)
+    p = p.transpose(0, 1, 2, 4, 3)  # channel-major features
+    return p.reshape(b, out_h * out_w, c * kh * kw)
 
 
 def _to_tokens(spec: LayerSpec, a: jax.Array) -> jax.Array:

@@ -87,3 +87,37 @@ def test_conv_covariance_batch_invariance(batch_size):
                 rtol=1e-6,
                 atol=1e-9,
             )
+
+
+@pytest.mark.parametrize("strides,padding,dilation", [
+    ((1, 1), "SAME", (1, 1)),
+    ((2, 2), "SAME", (1, 1)),
+    ((2, 1), "VALID", (1, 1)),
+    ((1, 1), ((2, 1), (0, 2)), (1, 1)),
+    ((1, 1), "SAME", (2, 2)),
+    ((2, 2), "VALID", (2, 3)),
+])
+def test_patch_extraction_matches_xla_reference(strides, padding, dilation):
+    """Slice-based im2col equals conv_general_dilated_patches for every
+    (stride, padding, dilation) combination — same values, same channel-major
+    feature ordering."""
+    import jax
+
+    from kronfluence_tpu.capture.specs import LayerSpec
+    from kronfluence_tpu.ops.flatten import extract_conv2d_patches
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 9, 11, 5)))
+    spec = LayerSpec(
+        name="c", kind="conv2d", has_bias=True, in_dim=5 * 9, out_dim=4,
+        kernel_size=(3, 3), strides=strides, padding=padding,
+        kernel_dilation=dilation, feature_group_count=1,
+    )
+    ours = extract_conv2d_patches(x, spec)
+    ref = jax.lax.conv_general_dilated_patches(
+        x, filter_shape=(3, 3), window_strides=strides, padding=padding,
+        rhs_dilation=dilation, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    ref = ref.reshape(ref.shape[0], -1, ref.shape[-1])
+    assert ours.shape == ref.shape, (ours.shape, ref.shape)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=0, atol=0)
