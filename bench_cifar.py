@@ -9,6 +9,12 @@ the GPT-2 headline benchmark (`bench.py`); run manually — the driver bench is
 `bench.py`.
 
 Prints ONE JSON line with the self-influence throughput vs the A100 baseline.
+
+Caveat on this dev environment: image batches are ~6 MB/step and the
+tunneled host<->device link here is slow and highly variable (measured from
+hundreds of MB/s down to <1 MB/s across sessions), so CIFAR-side rates are
+often input-bound and noisy — unlike `bench.py`, whose token batches are
+~32 KB. On a real TPU host (local DMA at GB/s) input feeding is a non-issue.
 """
 
 import json
