@@ -118,8 +118,9 @@ def extract_conv2d_patches(x: jax.Array, spec: LayerSpec) -> jax.Array:
                     (1, sh, sw, 1),
                 )
             )
-    p = jnp.stack(windows, axis=3)  # (b, oh, ow, kh*kw, c)
-    p = p.transpose(0, 1, 2, 4, 3)  # channel-major features
+    # Stack on the minor axis builds (b, oh, ow, c, kh*kw) — channel-major —
+    # in one strided pass (stack-then-transpose would be two).
+    p = jnp.stack(windows, axis=-1)
     return p.reshape(b, out_h * out_w, c * kh * kw)
 
 
