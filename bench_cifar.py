@@ -97,11 +97,17 @@ def main():
     )()
 
     def make_data(n, seed):
+        # Pre-uploaded to device (see bench.py make_data): steady-state rates
+        # measure the pipeline, not the dev tunnel's host->device link.
         r = np.random.default_rng(seed)
-        return {
+        host = {
             "x": r.normal(size=(n, 32, 32, 3)).astype(np.float32),
             "y": r.integers(0, 10, size=(n,)).astype(np.int32),
         }
+        dev = jax.device_put(host)
+        for v in dev.values():
+            np.asarray(v[:1])
+        return dev
 
     factor_args = smart_low_precision_factor_arguments(strategy="ekfac")
     factor_args.use_empirical_fisher = True

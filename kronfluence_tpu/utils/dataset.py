@@ -66,8 +66,32 @@ def dataset_length(dataset: Any) -> int:
     return len(dataset)
 
 
+def _is_device_column_store(dataset: Any) -> bool:
+    """Column store whose columns already live on an accelerator (jax.Array).
+
+    Batches from such a store are sliced ON DEVICE — no host materialization
+    and no per-step host->device upload. Useful when the host link is slow
+    (pre-upload the dataset once) or when data is produced on device."""
+    if not _is_column_store(dataset):
+        return False
+    try:
+        import jax
+    except ImportError:  # pragma: no cover
+        return False
+    return all(isinstance(v, jax.Array) for v in dataset.values())
+
+
 def _get_rows(dataset: Any, indices: np.ndarray) -> Any:
-    """Materializes a batch of examples as a pytree of stacked numpy arrays."""
+    """Materializes a batch of examples as a pytree of stacked numpy arrays
+    (or device arrays for a device-resident column store)."""
+    if _is_device_column_store(dataset):
+        import jax
+
+        start, length = int(indices[0]), len(indices)
+        contiguous = bool(np.array_equal(indices, np.arange(start, start + length)))
+        if contiguous:
+            return {k: jax.lax.dynamic_slice_in_dim(v, start, length, 0) for k, v in dataset.items()}
+        return {k: v[indices] for k, v in dataset.items()}
     if _is_column_store(dataset):
         return {k: _to_numpy(v)[indices] for k, v in dataset.items()}
     rows = [dataset[int(i)] for i in indices]
@@ -147,6 +171,8 @@ class BatchLoader:
 
         n = self.num_examples
         procs, rank = jax.process_count(), jax.process_index()
+        device_store = procs == 1 and _is_device_column_store(self.dataset)
+        ones_valid_dev = None
         for start in range(0, n, self.batch_size):
             chunk = self.indices[start : start + self.batch_size]
             valid = np.ones(self.batch_size, dtype=np.float32)
@@ -154,6 +180,17 @@ class BatchLoader:
                 pad = self.batch_size - len(chunk)
                 valid[len(chunk) :] = 0.0
                 chunk = np.concatenate([chunk, np.full(pad, chunk[0], dtype=np.int64)])
+            if device_store:
+                # Device-resident data: keep the valid mask device-resident
+                # too (the all-ones mask is shared across batches), so a step
+                # costs zero host->device traffic.
+                if valid.all():
+                    if ones_valid_dev is None:
+                        ones_valid_dev = jax.device_put(valid)
+                    yield self._materialize(chunk), ones_valid_dev
+                else:
+                    yield self._materialize(chunk), jax.device_put(valid)
+                continue
             if procs > 1:
                 # Multi-host: materialize only this process's contiguous rows
                 # of the global batch (shard_batch reassembles the global

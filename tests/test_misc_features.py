@@ -414,3 +414,39 @@ def test_new_argument_fields_do_not_invalidate_old_artifacts(tmp_path):
             "f", data, per_device_batch_size=4, factor_args=changed
         )
     assert removed == "auto"
+
+
+def test_device_resident_dataset_matches_host():
+    """A device-resident column store (pre-uploaded data) yields batches
+    sliced on device and identical factors to the host-numpy path."""
+    model, params, task = make_mlp()
+    host_data = make_regression_data(10)
+    dev_data = jax.device_put(host_data)
+    assert all(hasattr(v, "devices") for v in dev_data.values())
+    args = FactorArguments(strategy="ekfac", **FP64_FACTOR)
+    base = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(host_data, 4), args
+    )
+    dev = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(dev_data, 4), args
+    )
+    for factor_name in base:
+        for mod in base[factor_name]:
+            np.testing.assert_allclose(
+                np.asarray(base[factor_name][mod]), np.asarray(dev[factor_name][mod]),
+                rtol=1e-12, atol=1e-14,
+            )
+    # Subset indices (non-contiguous) also work on the device path.
+    idx = np.asarray([1, 3, 4, 7, 8])
+    sub_host = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(host_data, 3, indices=idx), args
+    )
+    sub_dev = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(dev_data, 3, indices=idx), args
+    )
+    name = sorted(sub_host[ACTIVATION_COVARIANCE_MATRIX_NAME])[0]
+    np.testing.assert_allclose(
+        np.asarray(sub_host[ACTIVATION_COVARIANCE_MATRIX_NAME][name]),
+        np.asarray(sub_dev[ACTIVATION_COVARIANCE_MATRIX_NAME][name]),
+        rtol=1e-12, atol=1e-14,
+    )
