@@ -224,14 +224,13 @@ def main():
     log(f"lambda steady: {lam_rate:.1f} ex/s")
 
     # EKFAC preconditioning needs only the eigendecomposition + lambda
-    # artifacts (reference load_all_factors requirements matrix). Mirror the
-    # real Analyzer path: factors live on the host (load_all_factors reads
-    # safetensors) and only the derived precondition states are
-    # device-resident during scoring — keeping device copies alive would
-    # waste ~1 GB of HBM that the score stage needs for query blocks.
-    from kronfluence_tpu.utils.platform import fetch_tree
-
-    factors = fetch_tree({**eigen, **lam})
+    # artifacts (reference load_all_factors requirements matrix). Keep them on
+    # device (fetching ~1 GB through this environment's tunnel can take
+    # minutes-to-hours when the link degrades); the warmup scoring call below
+    # derives the device precondition states — identity-cached on this dict —
+    # after which the raw factor arrays are freed (`factors.clear()`), exactly
+    # matching the real path's scoring-time memory footprint.
+    factors = {**eigen, **lam}
     del cov, eigen, lam
 
     # ---- Stage 4: pairwise scores ----
@@ -244,6 +243,11 @@ def main():
         factors, factor_args, score_args,
     )
     log(f"pairwise warmup (compile): {time.time() - t0:.1f}s")
+    # The warmup call built + cached the precondition states (anchored on the
+    # `factors` dict identity); the raw factor arrays are no longer read, so
+    # free their ~1 GB of HBM for query blocks. Clearing (not rebinding)
+    # preserves the cache anchor.
+    factors.clear()
     train_data = make_data(N_TRAIN, 6)
     t0 = time.time()
     compute_pairwise_scores_with_loaders(

@@ -48,7 +48,7 @@ def log(msg):
 
 
 def main():
-    from kronfluence_tpu.utils.platform import enable_persistent_cache, fetch_tree
+    from kronfluence_tpu.utils.platform import enable_persistent_cache
 
     enable_persistent_cache(os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
@@ -156,7 +156,7 @@ def main():
     lam_rate = N_LAMBDA / stages["lambda"]
     log(f"lambda steady: {lam_rate:.0f} ex/s")
 
-    factors = fetch_tree({**eigen, **lam})
+    factors = {**eigen, **lam}
     del cov, eigen, lam
 
     t0 = time.time()
@@ -164,6 +164,9 @@ def main():
         model, params, task, BatchLoader(make_data(2 * SELF_BATCH, 13), SELF_BATCH),
         factors, factor_args, score_args)
     log(f"self-score warmup (compile): {time.time() - t0:.1f}s")
+    # Precondition states are now cached (anchored on `factors`); free the
+    # raw device factor arrays (see bench.py).
+    factors.clear()
     t0 = time.time()
     compute_self_scores_with_loaders(
         model, params, task, BatchLoader(make_data(N_SELF, 6), SELF_BATCH),
