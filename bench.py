@@ -233,6 +233,18 @@ def main():
     factors = {**eigen, **lam}
     del cov, eigen, lam
 
+    # Build + identity-cache the device precondition states now, then free
+    # the raw factor arrays: scoring reads only the cached states, and the
+    # ~1 GB of raw factors would otherwise crowd out query-block HBM.
+    from kronfluence_tpu.factor.covariance import discover_stage_specs
+    from kronfluence_tpu.score.common import warm_precondition_state_cache
+
+    probe = {k: v[:COV_BATCH] for k, v in make_data(COV_BATCH, 99).items()}
+    spec_names = sorted(discover_stage_specs(model, task, params, probe, model.tracked_names))
+    force(warm_precondition_state_cache(
+        model, factors, factor_args.strategy, score_args, spec_names))
+    factors.clear()
+
     # ---- Stage 4: pairwise scores ----
     query_data = make_data(N_QUERY, 5)
     t0 = time.time()
@@ -243,11 +255,6 @@ def main():
         factors, factor_args, score_args,
     )
     log(f"pairwise warmup (compile): {time.time() - t0:.1f}s")
-    # The warmup call built + cached the precondition states (anchored on the
-    # `factors` dict identity); the raw factor arrays are no longer read, so
-    # free their ~1 GB of HBM for query blocks. Clearing (not rebinding)
-    # preserves the cache anchor.
-    factors.clear()
     train_data = make_data(N_TRAIN, 6)
     t0 = time.time()
     compute_pairwise_scores_with_loaders(

@@ -39,11 +39,12 @@ from kronfluence_tpu.score.common import (
     measurement_forward,
     module_per_sample_gradients,
     prepare_precondition_states,
+    warm_precondition_state_cache,
 )
 from kronfluence_tpu.task import Task
 from kronfluence_tpu.utils.constants import ALL_MODULE_NAME
 from kronfluence_tpu.utils.dtypes import resolve_dtype
-from kronfluence_tpu.utils.jit_cache import cached_step, cached_value, tracked_key
+from kronfluence_tpu.utils.jit_cache import cached_step, tracked_key
 from kronfluence_tpu.utils.platform import fetch_tree
 
 
@@ -244,16 +245,8 @@ def compute_pairwise_scores_with_loaders(
     module_names = sorted(specs)
     # Identity-cached on the factors object: partitioned runs call this driver
     # once per partition and must not re-transfer factors host->device.
-    precondition_states = cached_value(
-        model,
-        (
-            "precond_states", factor_args.strategy, score_args.damping_factor,
-            str(score_args.precondition_dtype), tuple(module_names),
-        ),
-        factors,
-        lambda: prepare_precondition_states(
-            factors, factor_args.strategy, score_args, module_names
-        ),
+    precondition_states = warm_precondition_state_cache(
+        model, factors, factor_args.strategy, score_args, module_names
     )
     strategy_config = get_factor_config(factor_args.strategy)
     precond_dtype = resolve_dtype(score_args.precondition_dtype)

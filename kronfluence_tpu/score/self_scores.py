@@ -23,12 +23,12 @@ from kronfluence_tpu.prepare import PreparedModel
 from kronfluence_tpu.score.common import (
     measurement_forward,
     module_per_sample_gradients,
-    prepare_precondition_states,
+    warm_precondition_state_cache,
 )
 from kronfluence_tpu.task import Task
 from kronfluence_tpu.utils.constants import ALL_MODULE_NAME
 from kronfluence_tpu.utils.dtypes import resolve_dtype
-from kronfluence_tpu.utils.jit_cache import cached_step, cached_value, tracked_key
+from kronfluence_tpu.utils.jit_cache import cached_step, tracked_key
 from kronfluence_tpu.utils.platform import fetch_tree
 
 
@@ -58,16 +58,8 @@ def compute_self_scores_with_loaders(
     specs = discover_stage_specs(model, task, params, probe_batch, tracked_names)
     # Identity-cached on the factors object (see pairwise.py): partitioned
     # runs must not re-transfer factors host->device per partition.
-    precondition_states = cached_value(
-        model,
-        (
-            "precond_states", factor_args.strategy, score_args.damping_factor,
-            str(score_args.precondition_dtype), tuple(sorted(specs)),
-        ),
-        factors,
-        lambda: prepare_precondition_states(
-            factors, factor_args.strategy, score_args, sorted(specs)
-        ),
+    precondition_states = warm_precondition_state_cache(
+        model, factors, factor_args.strategy, score_args, sorted(specs)
     )
     tkey = tracked_key(tracked_names)
     tracked = list(tkey) if tkey is not None else None
