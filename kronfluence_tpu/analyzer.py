@@ -112,6 +112,15 @@ class Analyzer(FactorComputer, ScoreComputer):
         """Loads a safetensors artifact file (reference analyzer.py:197-220)."""
         return load_file(Path(path))
 
+    def release_memory(self) -> None:
+        """Frees cached device state (precondition states, derived values)
+        held between score runs — the analogue of the reference's
+        `State.release_memory` (utils/state.py:117-125). Jitted step caches
+        are kept; they hold no large buffers."""
+        from kronfluence_tpu.utils.jit_cache import clear_value_cache
+
+        clear_value_cache(self.model)
+
     def get_module_summary(self) -> str:
         """Returns a summary of tracked modules (reference analyzer.py:222-242)."""
         specs = self._layer_specs()

@@ -32,6 +32,7 @@ from kronfluence_tpu.utils.constants import (
     SCORE_SAVE_PREFIX,
 )
 from kronfluence_tpu.utils.dataset import (
+    probe_first,
     BatchLoader,
     DataLoaderKwargs,
     ProgressLoader,
@@ -239,7 +240,7 @@ class Computer:
                     "factor/score stage first or pass a dataset."
                 )
             loader = BatchLoader(dataset, 1)
-            batch, _ = next(iter(loader))
+            batch, _ = probe_first(loader)
             self._specs_cache = discover_stage_specs(
                 self.model, self.task, self.params, batch, self.model.tracked_names
             )

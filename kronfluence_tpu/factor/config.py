@@ -82,6 +82,10 @@ class FactorConfig:
     requires_eigendecomposition_for_precondition: bool = False
     requires_lambda_matrices_for_precondition: bool = False
 
+    #: Factor-dict keys `prepare()` reads; validated up front so a missing
+    #: (e.g. cleared) factors dict fails with a clear error, not a KeyError.
+    required_precondition_factors: tuple = ()
+
     def __init_subclass__(cls, strategy: Optional[str] = None, **kwargs) -> None:
         super().__init_subclass__(**kwargs)
         if strategy is not None:
@@ -141,6 +145,7 @@ class Diagonal(FactorConfig, strategy="diagonal"):
 
     requires_lambda_matrices = True
     requires_lambda_matrices_for_precondition = True
+    required_precondition_factors = (NUM_LAMBDA_PROCESSED, LAMBDA_MATRIX_NAME)
 
     def prepare(self, factors, damping_factor, precondition_dtype) -> PreconditionState:
         dtype = resolve_dtype(precondition_dtype)
@@ -171,6 +176,12 @@ class Kfac(_EigenbasisSandwich, strategy="kfac"):
     requires_covariance_matrices = True
     requires_eigendecomposition = True
     requires_eigendecomposition_for_precondition = True
+    required_precondition_factors = (
+        ACTIVATION_EIGENVALUES_NAME,
+        GRADIENT_EIGENVALUES_NAME,
+        ACTIVATION_EIGENVECTORS_NAME,
+        GRADIENT_EIGENVECTORS_NAME,
+    )
 
     def prepare(self, factors, damping_factor, precondition_dtype) -> PreconditionState:
         dtype = resolve_dtype(precondition_dtype)
@@ -199,6 +210,12 @@ class Ekfac(_EigenbasisSandwich, strategy="ekfac"):
     requires_lambda_matrices = True
     requires_eigendecomposition_for_precondition = True
     requires_lambda_matrices_for_precondition = True
+    required_precondition_factors = (
+        NUM_LAMBDA_PROCESSED,
+        LAMBDA_MATRIX_NAME,
+        ACTIVATION_EIGENVECTORS_NAME,
+        GRADIENT_EIGENVECTORS_NAME,
+    )
 
     def prepare(self, factors, damping_factor, precondition_dtype) -> PreconditionState:
         dtype = resolve_dtype(precondition_dtype)

@@ -69,11 +69,17 @@ def shard_batch(mesh: Optional[Mesh], batch: Any) -> Any:
     procs = jax.process_count()
 
     def put(x):
-        arr = np.asarray(x)
         if procs > 1:
+            # Multi-host assembly needs host numpy shards.
+            arr = np.asarray(x)
             if arr.ndim >= 1 and (arr.shape[0] * procs) % n == 0:
                 return jax.make_array_from_process_local_data(data_sharding, arr)
             return jax.make_array_from_process_local_data(replica, arr)
+        # Single-process: pass device-resident arrays straight to device_put —
+        # XLA reshards on device. Round-tripping through np.asarray would be a
+        # blocking device->host fetch per batch, defeating device-resident
+        # column stores on meshed runs.
+        arr = x if isinstance(x, jax.Array) else np.asarray(x)
         if arr.ndim >= 1 and arr.shape[0] % n == 0:
             return jax.device_put(arr, data_sharding)
         return jax.device_put(arr, replica)

@@ -12,6 +12,7 @@ from kronfluence_tpu.factor.config import FactorConfig, PreconditionState, get_f
 from kronfluence_tpu.ops.covariance import per_sample_gradient as psg_op
 from kronfluence_tpu.ops.flatten import activation_tokens_with_bias, gradient_tokens
 from kronfluence_tpu.task import Task
+from kronfluence_tpu.utils.exceptions import FactorsNotFoundError
 
 
 def precondition_cache_key(strategy: str, score_args: ScoreArguments, module_names):
@@ -42,6 +43,10 @@ def warm_precondition_state_cache(
         lambda: prepare_precondition_states(
             factors, strategy, score_args, sorted(module_names)
         ),
+        # At most one set of device precondition states is kept alive per
+        # model: a run with new score arguments evicts (frees the HBM of)
+        # the previous run's states instead of pinning both forever.
+        exclusive_group="precond_states",
     )
 
 
@@ -61,6 +66,19 @@ def prepare_precondition_states(
             for factor_name, tensors in factors.items()
             if name in tensors
         }
+        missing = [
+            key for key in config.required_precondition_factors
+            if key not in module_factors
+        ]
+        if missing:
+            raise FactorsNotFoundError(
+                f"Factors {missing} for module {name!r} are required by the "
+                f"{strategy!r} strategy but absent from the factors dict. If you "
+                "cleared factors after warm_precondition_state_cache, note the "
+                "cache is keyed on (strategy, damping_factor, precondition_dtype, "
+                "module set) — scoring with different arguments or partitions "
+                "needs the factors reloaded."
+            )
         states[name] = config.prepare(
             module_factors, score_args.damping_factor, score_args.precondition_dtype
         )

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from kronfluence_tpu.utils.dataset import probe_first
 from kronfluence_tpu.arguments import FactorArguments, ScoreArguments
 from kronfluence_tpu.capture.engine import capture
 from kronfluence_tpu.factor.config import get_factor_config
@@ -240,7 +241,7 @@ def compute_pairwise_scores_with_loaders(
     args_key = _score_args_key(score_args)
 
     # Discover module set from a probe batch to prepare precondition states.
-    probe_batch, _ = next(iter(query_loader))
+    probe_batch, _ = probe_first(query_loader)
     specs = discover_stage_specs(model, task, params, probe_batch, tracked_names)
     module_names = sorted(specs)
     # Identity-cached on the factors object: partitioned runs call this driver

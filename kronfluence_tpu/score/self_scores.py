@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from kronfluence_tpu.utils.dataset import probe_first
 from kronfluence_tpu.arguments import FactorArguments, ScoreArguments
 from kronfluence_tpu.capture.engine import capture
 from kronfluence_tpu.factor.config import get_factor_config
@@ -54,7 +55,7 @@ def compute_self_scores_with_loaders(
     per_module = score_args.compute_per_module_scores
     use_measurement = score_args.use_measurement_for_self_influence
 
-    probe_batch, _ = next(iter(train_loader))
+    probe_batch, _ = probe_first(train_loader)
     specs = discover_stage_specs(model, task, params, probe_batch, tracked_names)
     # Identity-cached on the factors object (see pairwise.py): partitioned
     # runs must not re-transfer factors host->device per partition.

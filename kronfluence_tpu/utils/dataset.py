@@ -87,11 +87,16 @@ def _get_rows(dataset: Any, indices: np.ndarray) -> Any:
     if _is_device_column_store(dataset):
         import jax
 
-        start, length = int(indices[0]), len(indices)
-        contiguous = bool(np.array_equal(indices, np.arange(start, start + length)))
-        if contiguous:
-            return {k: jax.lax.dynamic_slice_in_dim(v, start, length, 0) for k, v in dataset.items()}
-        return {k: v[indices] for k, v in dataset.items()}
+        # Multi-host runs assemble global batches from per-process numpy
+        # shards (shard_batch), so only the single-process path may keep
+        # batches on device (mirrors the gating in BatchLoader._batches).
+        if jax.process_count() == 1:
+            start, length = int(indices[0]), len(indices)
+            contiguous = bool(np.array_equal(indices, np.arange(start, start + length)))
+            if contiguous:
+                return {k: jax.lax.dynamic_slice_in_dim(v, start, length, 0) for k, v in dataset.items()}
+            return {k: v[indices] for k, v in dataset.items()}
+        return {k: np.asarray(v)[indices] for k, v in dataset.items()}
     if _is_column_store(dataset):
         return {k: _to_numpy(v)[indices] for k, v in dataset.items()}
     rows = [dataset[int(i)] for i in indices]
@@ -207,6 +212,11 @@ class BatchLoader:
             return _prefetched(self._batches(), kwargs.prefetch_factor or 2)
         return self._batches()
 
+    def probe(self) -> Tuple[Any, np.ndarray]:
+        """First (batch, valid) pair, without progress bars or prefetch
+        threads — used by stage drivers for shape/module discovery."""
+        return next(self._batches())
+
 
 def _prefetched(source: Iterator, depth: int) -> Iterator:
     """Runs `source` in a daemon thread, keeping `depth` items buffered."""
@@ -259,6 +269,12 @@ class ProgressLoader:
     def __len__(self) -> int:
         return len(self._loader)
 
+    def probe(self):
+        """Probe batch without spinning up (and abandoning) a tqdm bar."""
+        if hasattr(self._loader, "probe"):
+            return self._loader.probe()
+        return next(iter(self._loader))
+
     def __iter__(self):
         if self._disable:
             return iter(self._loader)
@@ -272,6 +288,14 @@ class ProgressLoader:
                 bar_format=TQDM_BAR_FORMAT,
             )
         )
+
+
+def probe_first(loader: Any) -> Tuple[Any, Any]:
+    """First (batch, valid) of any loader, preferring its tqdm/prefetch-free
+    `probe()` path when available."""
+    if hasattr(loader, "probe"):
+        return loader.probe()
+    return next(iter(loader))
 
 
 def dataset_metadata(dataset: Any, indices: Optional[Sequence[int]] = None) -> Dict[str, Any]:

@@ -15,7 +15,13 @@ def cached_step(model: Any, key: Hashable, builder: Callable[[], Any]) -> Any:
     return cache[key]
 
 
-def cached_value(model: Any, key: Hashable, anchor: Any, builder: Callable[[], Any]) -> Any:
+def cached_value(
+    model: Any,
+    key: Hashable,
+    anchor: Any,
+    builder: Callable[[], Any],
+    exclusive_group: Hashable = None,
+) -> Any:
     """Cache keyed on `key` AND the identity of `anchor`.
 
     Used for device-resident state derived from large host inputs (e.g.
@@ -23,14 +29,36 @@ def cached_value(model: Any, key: Hashable, anchor: Any, builder: Callable[[], A
     invoke the stage driver once per partition with the same factors, and
     re-deriving would re-transfer gigabytes host->device each time. The cache
     holds a strong reference to `anchor`, so its id() cannot be recycled by
-    a new object (the stale-id hazard of bare id() keys)."""
+    a new object (the stale-id hazard of bare id() keys).
+
+    Cached values may pin gigabytes of HBM, so the cache is bounded: a hit
+    with a *new* anchor replaces the old entry, and when `exclusive_group` is
+    given, inserting evicts every other entry of the same group (e.g. one set
+    of precondition states alive per model, regardless of how many distinct
+    score-argument keys were used). `clear_value_cache` releases everything."""
     cache = model.__dict__.setdefault("_value_cache", {})
     entry = cache.get(key)
-    if entry is not None and entry[0] is anchor:
-        return entry[1]
+    if entry is not None and entry[1] is anchor:
+        return entry[2]
     value = builder()
-    cache[key] = (anchor, value)
+    if exclusive_group is not None:
+        for other in [k for k, e in cache.items() if e[0] == exclusive_group and k != key]:
+            del cache[other]
+    cache[key] = (exclusive_group, anchor, value)
     return value
+
+
+def clear_value_cache(model: Any, group: Hashable = None) -> None:
+    """Drops cached derived values (and their device buffers). With `group`,
+    only entries inserted under that exclusive_group are dropped."""
+    cache = model.__dict__.get("_value_cache")
+    if not cache:
+        return
+    if group is None:
+        cache.clear()
+        return
+    for k in [k for k, e in cache.items() if e[0] == group]:
+        del cache[k]
 
 
 def tracked_key(tracked_names) -> Hashable:

@@ -450,3 +450,36 @@ def test_device_resident_dataset_matches_host():
         np.asarray(sub_dev[ACTIVATION_COVARIANCE_MATRIX_NAME][name]),
         rtol=1e-12, atol=1e-14,
     )
+
+
+def test_missing_factors_raise_clear_error():
+    """Cleared/incomplete factor dicts fail preparation with a clear message,
+    not a KeyError mid-run (warm-cache + factors.clear() footgun)."""
+    from kronfluence_tpu.arguments import ScoreArguments
+    from kronfluence_tpu.score.common import prepare_precondition_states
+    from kronfluence_tpu.utils.exceptions import FactorsNotFoundError
+
+    with pytest.raises(FactorsNotFoundError, match="required by the 'ekfac' strategy"):
+        prepare_precondition_states({}, "ekfac", ScoreArguments(), ["layer0"])
+
+
+def test_value_cache_eviction_and_clear():
+    """cached_value keeps one entry per exclusive_group and clear_value_cache
+    releases everything (HBM-bounding behavior for precondition states)."""
+    from kronfluence_tpu.utils.jit_cache import cached_value, clear_value_cache
+
+    class M:
+        pass
+
+    m = M()
+    a1, a2 = object(), object()
+    v1 = cached_value(m, ("k", 1), a1, lambda: "one", exclusive_group="g")
+    assert cached_value(m, ("k", 1), a1, lambda: "MISS", exclusive_group="g") == "one"
+    v2 = cached_value(m, ("k", 2), a2, lambda: "two", exclusive_group="g")
+    assert v1 == "one" and v2 == "two"
+    assert list(m._value_cache) == [("k", 2)]  # old group entry evicted
+    # New anchor under the same key replaces (no double-pinning).
+    assert cached_value(m, ("k", 2), object(), lambda: "three", exclusive_group="g") == "three"
+    assert len(m._value_cache) == 1
+    clear_value_cache(m)
+    assert not m._value_cache
