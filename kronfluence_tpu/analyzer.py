@@ -112,6 +112,17 @@ class Analyzer(FactorComputer, ScoreComputer):
         """Loads a safetensors artifact file (reference analyzer.py:197-220)."""
         return load_file(Path(path))
 
+    def verify_task(self, dataset: Any, per_device_batch_size: int = 8) -> None:
+        """Probes one batch and raises `IllegalTaskConfigurationError` /
+        `TrackedModuleNotFoundError` on common Task mistakes (mean-reduced
+        loss, non-scalar measurement, mis-shaped attention mask, unknown
+        tracked-module names) before any expensive stage runs."""
+        from kronfluence_tpu.utils.dataset import BatchLoader
+        from kronfluence_tpu.utils.task_check import verify_task_configuration
+
+        batch, _ = BatchLoader(dataset, per_device_batch_size).probe()
+        verify_task_configuration(self.model, self.params, self.task, batch)
+
     def release_memory(self) -> None:
         """Frees cached device state (precondition states, derived values)
         held between score runs — the analogue of the reference's
