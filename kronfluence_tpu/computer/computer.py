@@ -179,11 +179,15 @@ class Computer:
         indices: Optional[Sequence[int]] = None,
         initial_per_device_batch_size_attempt: int = 4096,
         dataloader_kwargs: Optional[DataLoaderKwargs] = None,
+        stage: Optional[str] = None,
+        factor_args: Any = None,
+        score_args: Any = None,
     ) -> BatchLoader:
         total = len(indices) if indices is not None else dataset_length(dataset)
         if per_device_batch_size is None:
             per_device_batch_size = self._find_executable_batch_size(
-                dataset, total, initial_per_device_batch_size_attempt
+                dataset, total, initial_per_device_batch_size_attempt,
+                stage=stage, factor_args=factor_args, score_args=score_args,
             )
         loader = BatchLoader(
             dataset,
@@ -195,40 +199,47 @@ class Computer:
         return ProgressLoader(loader, desc="Batches", disable=disable)
 
     def _find_executable_batch_size(
-        self, dataset: Any, total: int, initial_attempt: int
+        self,
+        dataset: Any,
+        total: int,
+        initial_attempt: int,
+        stage: Optional[str] = None,
+        factor_args: Any = None,
+        score_args: Any = None,
     ) -> int:
-        """Analytic executable-batch-size estimate.
+        """Analytic executable-batch-size estimate (utils/memory.py).
 
         XLA has no recoverable OOM, so the reference's run-and-halve search
-        (utils/dataset.py:66-101) is replaced by a shape-based estimate: the
-        dominant per-sample device cost is the captured activation/gradient
-        token streams plus one materialized per-sample gradient per module.
-        The batch size is chosen so that estimate fits in a fraction of the
-        device memory not already taken by parameters and factor state.
+        (utils/dataset.py:66-101) is replaced by a shape model built from the
+        probe batch's true token counts, the stage's per-module structures,
+        the remat / iterative-lambda flags, and the measured free HBM.
         """
         attempt = max(1, min(initial_attempt, total) // data_axis_size(self.mesh))
         try:
-            specs = self._layer_specs(dataset)
-            bytes_per_example = 0
-            for spec in specs.values():
-                d_in, d_out = spec.activation_dim, spec.gradient_dim
-                # activation + gradient token streams (assume <=1024 tokens,
-                # fp32) + one per-sample gradient.
-                bytes_per_example += 4 * (1024 * (d_in + d_out) + d_in * d_out)
-            device = jax.devices()[0]
-            stats = getattr(device, "memory_stats", lambda: None)() or {}
-            limit = stats.get("bytes_limit", 16 * 1024**3)
-            in_use = stats.get("bytes_in_use", 0)
-            budget = max(limit - in_use, limit // 4) * 0.4
-            fit = max(1, int(budget // max(bytes_per_example, 1)))
-            chosen = min(attempt, fit)
-            if chosen < attempt:
+            from kronfluence_tpu.utils.memory import estimate_batch_size, probe_modules
+
+            batch, _ = BatchLoader(dataset, 1).probe()
+            probes = probe_modules(self.model, self.task, self.params, batch, 1)
+            if not probes:
+                raise FactorsNotFoundError("No tracked modules found in the model.")
+            fit = estimate_batch_size(
+                probes,
+                stage or "covariance",
+                params=self.params,
+                factor_args=factor_args,
+                score_args=score_args,
+                max_batch_size=attempt,
+            )
+            if fit < attempt:
                 self.logger.info(
                     f"Analytic memory estimate reduced per-device batch size "
-                    f"{attempt} -> {chosen}."
+                    f"{attempt} -> {fit} for stage {stage or 'covariance'!r}."
                 )
-            return chosen
-        except Exception:  # estimation is best-effort; fall back to the clamp
+            return fit
+        except FactorsNotFoundError:
+            raise
+        except Exception as exc:  # estimation is best-effort; fall back to the clamp
+            self.logger.info(f"Batch-size estimation failed ({exc!r}); using {attempt}.")
             return attempt
 
     # -- Module discovery / partitioning (reference: computer.py:250-316). --

@@ -86,6 +86,7 @@ class FactorComputer(Computer):
 
         self._run_partitioned_fit(
             stage="covariance",
+            factor_args=factor_args,
             fit_fn=lambda loader, names: fit_covariance_matrices_with_loader(
                 self.model, self.params, self.task, loader, factor_args,
                 tracked_names=names, mesh=self.mesh, profiler=self.profiler,
@@ -192,6 +193,7 @@ class FactorComputer(Computer):
 
         self._run_partitioned_fit(
             stage="lambda",
+            factor_args=factor_args,
             fit_fn=lambda loader, names: fit_lambda_matrices_with_loader(
                 self.model, self.params, self.task, loader, factor_args,
                 eigen_factors=eigen_factors, tracked_names=names, mesh=self.mesh,
@@ -221,6 +223,7 @@ class FactorComputer(Computer):
         stage: str,
         fit_fn,
         dataset,
+        factor_args,
         indices: np.ndarray,
         per_device_batch_size,
         initial_attempt: int,
@@ -246,6 +249,7 @@ class FactorComputer(Computer):
             loader = self._get_loader(
                 dataset, per_device_batch_size, indices, initial_attempt,
                 dataloader_kwargs=dataloader_kwargs,
+                stage=stage, factor_args=factor_args,
             )
             with self.profiler.profile(f"Fit {stage.capitalize()}"):
                 factors = fit_fn(loader, None if module_partitions == 1 else module_names)
@@ -273,6 +277,7 @@ class FactorComputer(Computer):
                 loader = self._get_loader(
                     dataset, per_device_batch_size, indices[start:end], initial_attempt,
                     dataloader_kwargs=dataloader_kwargs,
+                    stage=stage, factor_args=factor_args,
                 )
                 with self.profiler.profile(f"Fit {stage.capitalize()}"):
                     factors = fit_fn(loader, module_groups[mi])

@@ -97,6 +97,7 @@ class ScoreComputer(Computer):
         query_loader = self._get_loader(
             query_dataset, per_device_query_batch_size, query_indices,
             dataloader_kwargs=dataloader_kwargs,
+            stage="pairwise", score_args=score_args,
         )
         train_idx = (
             np.asarray(train_indices, dtype=np.int64)
@@ -111,6 +112,7 @@ class ScoreComputer(Computer):
                 train_idx[slice(*data_ranges[di])],
                 initial_per_device_train_batch_size_attempt,
                 dataloader_kwargs=dataloader_kwargs,
+                stage="pairwise", score_args=score_args,
             )
             with self.profiler.profile("Compute Pairwise Score"):
                 return compute_pairwise_scores_with_loaders(
@@ -251,6 +253,7 @@ class ScoreComputer(Computer):
                 train_idx[slice(*data_ranges[di])],
                 initial_per_device_train_batch_size_attempt,
                 dataloader_kwargs=dataloader_kwargs,
+                stage="self", score_args=score_args,
             )
             with self.profiler.profile("Compute Self-Influence Score"):
                 return compute_self_scores_with_loaders(
