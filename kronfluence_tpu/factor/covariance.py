@@ -140,7 +140,10 @@ def fit_covariance_matrices_with_loader(
     """Fits activation/gradient covariance over all batches of `loader`."""
     from kronfluence_tpu.utils.jit_cache import cached_step, tracked_key
 
+    from kronfluence_tpu.utils.logger import PassThroughProfiler
+
     factor_args = factor_args or FactorArguments()
+    profiler = profiler or PassThroughProfiler()
     tracked_names = tracked_names if tracked_names is not None else model.tracked_names
     act_dtype = resolve_dtype(factor_args.activation_covariance_dtype)
     grad_dtype = resolve_dtype(factor_args.gradient_covariance_dtype)
@@ -155,7 +158,8 @@ def fit_covariance_matrices_with_loader(
     except StopIteration:
         raise ValueError("Empty loader for covariance fitting.")
 
-    specs = discover_stage_specs(model, task, params, first_batch, tracked_names)
+    with profiler.profile("Covariance: discover specs"):
+        specs = discover_stage_specs(model, task, params, first_batch, tracked_names)
 
     state = {
         name: {
@@ -204,11 +208,13 @@ def fit_covariance_matrices_with_loader(
         state = step(state, params, batch, valid, rng)
         step_idx += 1
 
-    run_batch(shard_batch(mesh, first_batch), shard_batch(mesh, first_valid))
-    for batch, valid in device_prefetch(loader_iter, mesh):
-        run_batch(batch, valid)
-
-    jax.block_until_ready(state)
+    with profiler.profile("Covariance: first step (compile)"):
+        run_batch(shard_batch(mesh, first_batch), shard_batch(mesh, first_valid))
+    with profiler.profile("Covariance: batch loop"):
+        for batch, valid in device_prefetch(loader_iter, mesh):
+            run_batch(batch, valid)
+    with profiler.profile("Covariance: device sync"):
+        jax.block_until_ready(state)
 
     # Assemble the factor dict (factor_name -> module -> array) in the
     # requested artifact dtypes. Results stay ON DEVICE: the eigendecomposition

@@ -138,7 +138,10 @@ def perform_eigendecomposition(
     float32 (production TPU path) runs entirely on device via the blocked
     Jacobi solver; float64 matches the reference's host LAPACK numerics.
     """
+    from kronfluence_tpu.utils.logger import PassThroughProfiler
+
     factor_args = factor_args or FactorArguments()
+    profiler = profiler or PassThroughProfiler()
     dtype_name = canonical_dtype_name(factor_args.eigendecomposition_dtype)
     eigen_factors: Dict[str, Dict[str, Any]] = {
         name: {}
@@ -151,9 +154,11 @@ def perform_eigendecomposition(
     }
     if dtype_name == "float32" and jax.default_backend() != "cpu":
         solver = getattr(factor_args, "eigendecomposition_solver", "auto")
-        _device_eigendecomposition(covariance_factors, eigen_factors, solver)
+        with profiler.profile("Eigendecomposition: device eigh"):
+            _device_eigendecomposition(covariance_factors, eigen_factors, solver)
     else:
-        _host_eigendecomposition(covariance_factors, eigen_factors, dtype_name)
+        with profiler.profile("Eigendecomposition: host fp64 eigh"):
+            _host_eigendecomposition(covariance_factors, eigen_factors, dtype_name)
     return eigen_factors
 
 
@@ -255,7 +260,10 @@ def fit_lambda_matrices_with_loader(
     from kronfluence_tpu.factor.covariance import discover_stage_specs
     from kronfluence_tpu.utils.jit_cache import cached_step, tracked_key
 
+    from kronfluence_tpu.utils.logger import PassThroughProfiler
+
     factor_args = factor_args or FactorArguments()
+    profiler = profiler or PassThroughProfiler()
     tracked_names = tracked_names if tracked_names is not None else model.tracked_names
     config = get_factor_config(factor_args.strategy)
     use_eigenbasis = config.requires_eigendecomposition_for_lambda
@@ -333,10 +341,13 @@ def fit_lambda_matrices_with_loader(
         state = step(state, params, batch, valid, rng, q_a_host, q_g_host)
         step_idx += 1
 
-    run_batch(shard_batch(mesh, first_batch), shard_batch(mesh, first_valid))
-    for batch, valid in device_prefetch(loader_iter, mesh):
-        run_batch(batch, valid)
-    jax.block_until_ready(state)
+    with profiler.profile("Lambda: first step (compile)"):
+        run_batch(shard_batch(mesh, first_batch), shard_batch(mesh, first_valid))
+    with profiler.profile("Lambda: batch loop"):
+        for batch, valid in device_prefetch(loader_iter, mesh):
+            run_batch(batch, valid)
+    with profiler.profile("Lambda: device sync"):
+        jax.block_until_ready(state)
 
     # Device-resident results; the save path bulk-fetches when persisting.
     result: Dict[str, Dict[str, Any]] = {LAMBDA_MATRIX_NAME: {}, NUM_LAMBDA_PROCESSED: {}}

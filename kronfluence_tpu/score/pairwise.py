@@ -232,7 +232,10 @@ def compute_pairwise_scores_with_loaders(
     profiler=None,
 ) -> Dict[str, np.ndarray]:
     """Computes pairwise scores; returns {module_name or 'all_modules': (Q, T[, t])}."""
+    from kronfluence_tpu.utils.logger import PassThroughProfiler
+
     score_args = score_args or ScoreArguments()
+    profiler = profiler or PassThroughProfiler()
     tracked_names = tracked_names if tracked_names is not None else model.tracked_names
     per_module = score_args.compute_per_module_scores
     psg_dtype = resolve_dtype(score_args.per_sample_gradient_dtype)
@@ -246,9 +249,10 @@ def compute_pairwise_scores_with_loaders(
     module_names = sorted(specs)
     # Identity-cached on the factors object: partitioned runs call this driver
     # once per partition and must not re-transfer factors host->device.
-    precondition_states = warm_precondition_state_cache(
-        model, factors, factor_args.strategy, score_args, module_names
-    )
+    with profiler.profile("Pairwise: prepare precondition states"):
+        precondition_states = warm_precondition_state_cache(
+            model, factors, factor_args.strategy, score_args, module_names
+        )
     strategy_config = get_factor_config(factor_args.strategy)
     precond_dtype = resolve_dtype(score_args.precondition_dtype)
     score_dtype = resolve_dtype(score_args.score_dtype)
@@ -329,14 +333,27 @@ def compute_pairwise_scores_with_loaders(
                 scores = train_step(params, batch, valid_dev, query_block)
                 for key, val in scores.items():
                     module_chunks.setdefault(key, []).append(val)
-            module_chunks = fetch_tree(module_chunks)
+            with profiler.profile("Pairwise: score fetch"):
+                module_chunks = fetch_tree(module_chunks)
             return {
                 key: np.concatenate(chunks, axis=1)[:, : train_loader.num_examples]
                 for key, chunks in module_chunks.items()
             }
 
-    # Assemble scores on the host.
-    chunks_per_block = [train_pass(query_block) for query_block in query_blocks_iter()]
+    # Assemble scores on the host. Query-gradient preparation and the train
+    # pass are timed separately (reference's Profiler granularity,
+    # utils/logger.py:292-312); the generator interleaves them, so drive it
+    # manually.
+    chunks_per_block = []
+    block_iter = query_blocks_iter()
+    while True:
+        with profiler.profile("Pairwise: query gradients"):
+            try:
+                query_block = next(block_iter)
+            except StopIteration:
+                break
+        with profiler.profile("Pairwise: train pass"):
+            chunks_per_block.append(train_pass(query_block))
 
     result: Dict[str, np.ndarray] = {}
     for key in chunks_per_block[0]:

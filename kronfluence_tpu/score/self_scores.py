@@ -46,7 +46,10 @@ def compute_self_scores_with_loaders(
     profiler=None,
 ) -> Dict[str, np.ndarray]:
     """Computes self-influence scores; returns {module or 'all_modules': (N,)}."""
+    from kronfluence_tpu.utils.logger import PassThroughProfiler
+
     score_args = score_args or ScoreArguments()
+    profiler = profiler or PassThroughProfiler()
     tracked_names = tracked_names if tracked_names is not None else model.tracked_names
     strategy_config = get_factor_config(factor_args.strategy)
     psg_dtype = resolve_dtype(score_args.per_sample_gradient_dtype)
@@ -59,9 +62,10 @@ def compute_self_scores_with_loaders(
     specs = discover_stage_specs(model, task, params, probe_batch, tracked_names)
     # Identity-cached on the factors object (see pairwise.py): partitioned
     # runs must not re-transfer factors host->device per partition.
-    precondition_states = warm_precondition_state_cache(
-        model, factors, factor_args.strategy, score_args, sorted(specs)
-    )
+    with profiler.profile("Self-influence: prepare precondition states"):
+        precondition_states = warm_precondition_state_cache(
+            model, factors, factor_args.strategy, score_args, sorted(specs)
+        )
     tkey = tracked_key(tracked_names)
     tracked = list(tkey) if tkey is not None else None
 
@@ -122,11 +126,13 @@ def compute_self_scores_with_loaders(
     # Device-resident chunks + one bulk fetch: keeps the dispatch loop
     # pipelined instead of serializing on per-batch host transfers.
     chunks: Dict[str, List[Any]] = {}
-    for batch, valid_dev in device_prefetch(train_loader, mesh):
-        scores = step(params, batch, valid_dev, precondition_states)
-        for key, val in scores.items():
-            chunks.setdefault(key, []).append(val)
-    chunks = fetch_tree(chunks)
+    with profiler.profile("Self-influence: train pass"):
+        for batch, valid_dev in device_prefetch(train_loader, mesh):
+            scores = step(params, batch, valid_dev, precondition_states)
+            for key, val in scores.items():
+                chunks.setdefault(key, []).append(val)
+    with profiler.profile("Self-influence: score fetch"):
+        chunks = fetch_tree(chunks)
 
     return {
         key: np.concatenate(vals, axis=0)[: train_loader.num_examples]

@@ -74,15 +74,23 @@ class Profiler(PassThroughProfiler):
         self._totals: Dict[str, float] = defaultdict(float)
         self._counts: Dict[str, int] = defaultdict(int)
         self._order: List[str] = []
+        self._depths: Dict[str, int] = {}
+        self._depth = 0
 
     @contextmanager
     def profile(self, action_name: str):
         if action_name not in self._totals:
             self._order.append(action_name)
+            # Stage drivers nest sub-phase regions inside the computer-level
+            # stage region; remember each action's nesting depth so the
+            # summary total only sums top-level regions (no double counting).
+            self._depths[action_name] = self._depth
+        self._depth += 1
         start = time.monotonic()
         try:
             yield
         finally:
+            self._depth -= 1
             self._totals[action_name] += time.monotonic() - start
             self._counts[action_name] += 1
 
@@ -90,7 +98,9 @@ class Profiler(PassThroughProfiler):
         return [(name, self._totals[name], self._counts[name]) for name in self._order]
 
     def summary(self) -> str:
-        total = sum(self._totals.values())
+        total = sum(
+            t for name, t in self._totals.items() if self._depths.get(name, 0) == 0
+        )
         if total <= 0:
             return "Profiler Report: no recorded actions."
         lines = [
@@ -101,10 +111,36 @@ class Profiler(PassThroughProfiler):
             "----------------------------------------------------------------------------------------------------",
         ]
         for name, t, c in sorted(self.rows(), key=lambda r: -r[1]):
+            display = ("  " * self._depths.get(name, 0)) + name
             lines.append(
-                f"{name:<50}|  {t / max(c, 1):<18.5}|  {c:<10}|  {t:<15.5}|  {100.0 * t / total:<13.5}"
+                f"{display:<50}|  {t / max(c, 1):<18.5}|  {c:<10}|  {t:<15.5}|  {100.0 * t / total:<13.5}"
             )
         return "\n".join(lines)
+
+
+def get_time(synchronize: bool = True) -> float:
+    """Cross-process MAX-synchronized wall clock (reference:
+    utils/logger.py:292-312 `get_time`, which cuda-synchronizes then
+    all_reduces MAX). Here: wait for local device work, then take the MAX of
+    every process's clock so elapsed times agree across ranks."""
+    import jax
+
+    if synchronize:
+        try:
+            jax.effects_barrier()
+        except Exception:
+            pass
+    t = time.perf_counter()
+    try:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            import numpy as np
+
+            times = multihost_utils.process_allgather(np.asarray(t, np.float64))
+            return float(np.max(times))
+    except Exception:
+        pass
+    return t
 
 
 class TraceProfiler(Profiler):

@@ -483,3 +483,46 @@ def test_value_cache_eviction_and_clear():
     assert len(m._value_cache) == 1
     clear_value_cache(m)
     assert not m._value_cache
+
+
+def test_profiler_records_stage_subphases(tmp_path):
+    """Stage drivers thread the profiler: the summary shows per-phase rows
+    (reference: every stage body wrapped in profiler.profile, logger.py:57-154)
+    and the total only sums top-level regions despite nesting."""
+    from kronfluence_tpu.analyzer import Analyzer
+    from kronfluence_tpu.arguments import ScoreArguments
+    from kronfluence_tpu.utils.logger import get_time
+
+    model, params, task = make_mlp()
+    analyzer = Analyzer(
+        "prof", model, task, params=params, output_dir=str(tmp_path),
+        disable_tqdm=True, profile=True,
+    )
+    data = make_regression_data(12)
+    args = FactorArguments(strategy="ekfac", **FP64_FACTOR)
+    analyzer.fit_all_factors("f", data, per_device_batch_size=6, factor_args=args)
+    analyzer.compute_pairwise_scores(
+        "s", "f", make_regression_data(4, seed=1), data,
+        per_device_query_batch_size=2, per_device_train_batch_size=6,
+        score_args=ScoreArguments(
+            score_dtype="float64", per_sample_gradient_dtype="float64",
+            precondition_dtype="float64",
+        ),
+    )
+    summary = analyzer.profiler.summary()
+    for row in (
+        "Covariance: batch loop",
+        "Lambda: batch loop",
+        "Pairwise: query gradients",
+        "Pairwise: train pass",
+        "Fit Covariance",
+    ):
+        assert row in summary, f"missing profiler row: {row}\n{summary}"
+    totals = analyzer.profiler._totals
+    depths = analyzer.profiler._depths
+    top = sum(t for k, t in totals.items() if depths[k] == 0)
+    assert sum(totals.values()) > top > 0  # nesting exists, total excludes it
+    # Cross-process MAX-synced clock is monotonic and usable single-process.
+    t0 = get_time()
+    t1 = get_time()
+    assert t1 >= t0
