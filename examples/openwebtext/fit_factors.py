@@ -19,60 +19,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from kronfluence_tpu import Analyzer, prepare_model
 from kronfluence_tpu.models.transformer import TransformerConfig, TransformerLM
 from kronfluence_tpu.parallel.mesh import MODEL_AXIS, make_mesh
-from kronfluence_tpu.task import Task
 from kronfluence_tpu.utils.common.factor_arguments import (
     extreme_reduce_memory_factor_arguments,
 )
 
 
-class MLPOnlyLMTask(Task):
-    """Margin-style measurement + MLP-only tracked modules
-    (reference: examples/openwebtext/task.py:53-100)."""
-
-    def __init__(self, num_layers: int):
-        self.num_layers = num_layers
-
-    def compute_train_loss(self, batch, model, sample=False, rng=None):
-        logits = model(batch["input_ids"], batch["attention_mask"])[:, :-1]
-        mask = batch["attention_mask"][:, 1:].astype(jnp.float32)
-        if sample:
-            labels = jax.random.categorical(
-                rng, jax.lax.stop_gradient(logits).astype(jnp.float32)
-            )
-        else:
-            labels = batch["input_ids"][:, 1:]
-        losses = optax.softmax_cross_entropy_with_integer_labels(
-            logits.astype(jnp.float32), labels
-        )
-        return jnp.sum(losses * mask)
-
-    def compute_measurement(self, batch, model):
-        # Margin of the target tokens vs the rest of the vocabulary.
-        logits = model(batch["input_ids"], batch["attention_mask"])[:, :-1]
-        logits = logits.astype(jnp.float32)
-        labels = batch["input_ids"][:, 1:]
-        mask = batch["attention_mask"][:, 1:].astype(jnp.float32)
-        correct = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
-        masked = jnp.where(
-            jax.nn.one_hot(labels, logits.shape[-1], dtype=bool), -jnp.inf, logits
-        )
-        margins = correct - jax.nn.logsumexp(masked, axis=-1)
-        return -jnp.sum(margins * mask)
-
-    def get_influence_tracked_modules(self):
-        names = []
-        for i in range(self.num_layers):
-            names += [f"h_{i}/mlp/c_fc", f"h_{i}/mlp/c_proj"]
-        return names
-
-    def get_attention_mask(self, batch):
-        return batch["attention_mask"]
+from examples.openwebtext.task import MLPOnlyLMTask
 
 
 def main():

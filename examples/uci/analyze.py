@@ -1,8 +1,8 @@
 """UCI-style regression example (reference: examples/uci).
 
-Trains a 3-layer MLP on a synthetic Concrete-like regression problem, fits
-EKFAC factors, and computes pairwise influence scores — the minimum
-end-to-end workflow. CPU-runnable.
+Trains a 3-layer MLP on the Concrete regression problem (synthetic mirror by
+default, real CSV via UCI_CONCRETE_CSV), fits EKFAC factors, and computes
+pairwise influence scores — the minimum end-to-end workflow. CPU-runnable.
 
     python examples/uci/analyze.py --num_train 512 --queries 16
 """
@@ -13,38 +13,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 from kronfluence_tpu import Analyzer, FactorArguments, ScoreArguments, prepare_model
-from kronfluence_tpu.models.mlp import MLP
-from kronfluence_tpu.task import Task
 
 from examples.common import print_top_influences, train_model
-
-
-class RegressionTask(Task):
-    def compute_train_loss(self, batch, model, sample=False, rng=None):
-        preds = model(batch["x"])
-        if not sample:
-            return jnp.sum((preds - batch["y"]) ** 2)
-        sampled = jax.lax.stop_gradient(preds) + jax.random.normal(
-            rng, preds.shape, preds.dtype
-        )
-        return jnp.sum((preds - sampled) ** 2)
-
-    def compute_measurement(self, batch, model):
-        return jnp.sum((model(batch["x"]) - batch["y"]) ** 2)
-
-
-def synthetic_concrete(num: int, seed: int = 0):
-    """8 features -> 1 target with a nonlinear ground truth, like UCI Concrete."""
-    rng = np.random.default_rng(seed)
-    x = rng.normal(size=(num, 8)).astype(np.float32)
-    w = rng.normal(size=(8,))
-    y = np.tanh(x @ w) + 0.5 * (x[:, 0] * x[:, 1]) + 0.1 * rng.normal(size=num)
-    return {"x": x, "y": y[:, None].astype(np.float32)}
+from examples.uci.pipeline import (
+    RegressionTask,
+    construct_regression_mlp,
+    get_regression_dataset,
+)
 
 
 def main():
@@ -56,11 +32,10 @@ def main():
     parser.add_argument("--strategy", default="ekfac")
     args = parser.parse_args()
 
-    train_data = synthetic_concrete(args.num_train, seed=0)
-    query_data = synthetic_concrete(args.queries, seed=1)
+    train_data = get_regression_dataset("train", args.num_train)
+    query_data = get_regression_dataset("eval", args.queries)
 
-    module = MLP(hidden_dims=(64, 64), out_dim=1)
-    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 8)))["params"]
+    module, params = construct_regression_mlp()
     task = RegressionTask()
     model = prepare_model(module, task)
 

@@ -13,14 +13,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-import optax
-
 from kronfluence_tpu import Analyzer, FactorArguments, ScoreArguments, prepare_model
-from kronfluence_tpu.models.transformer import TransformerConfig, TransformerLM
-from kronfluence_tpu.task import Task
 from kronfluence_tpu.utils.common.factor_arguments import (
     all_low_precision_factor_arguments,
 )
@@ -29,47 +22,12 @@ from kronfluence_tpu.utils.common.score_arguments import (
 )
 
 
-class LanguageModelingTask(Task):
-    """Summed next-token CE; sampled-label variant approximates the true
-    Fisher (reference: examples/wikitext/analyze.py task)."""
-
-    def __init__(self, num_layers: int):
-        self.num_layers = num_layers
-
-    def compute_train_loss(self, batch, model, sample=False, rng=None):
-        logits = model(batch["input_ids"], batch["attention_mask"])[:, :-1]
-        mask = batch["attention_mask"][:, 1:].astype(jnp.float32)
-        if sample:
-            labels = jax.random.categorical(
-                rng, jax.lax.stop_gradient(logits).astype(jnp.float32)
-            )
-        else:
-            labels = batch["input_ids"][:, 1:]
-        losses = optax.softmax_cross_entropy_with_integer_labels(
-            logits.astype(jnp.float32), labels
-        )
-        return jnp.sum(losses * mask)
-
-    def compute_measurement(self, batch, model):
-        return self.compute_train_loss(batch, model)
-
-    def get_influence_tracked_modules(self):
-        names = []
-        for i in range(self.num_layers):
-            names += [f"h_{i}/attn/c_attn", f"h_{i}/attn/c_proj",
-                      f"h_{i}/mlp/c_fc", f"h_{i}/mlp/c_proj"]
-        return names
-
-    def get_attention_mask(self, batch):
-        return batch["attention_mask"]
-
-
-def synthetic_tokens(num, seq_len, vocab, seed=0):
-    rng = np.random.default_rng(seed)
-    return {
-        "input_ids": rng.integers(1, vocab, size=(num, seq_len)).astype(np.int32),
-        "attention_mask": np.ones((num, seq_len), dtype=np.int32),
-    }
+from examples.wikitext.pipeline import (
+    LanguageModelingTask,
+    construct_gpt2,
+    get_wikitext_dataset,
+    synthetic_tokens,
+)
 
 
 def main():
@@ -83,23 +41,23 @@ def main():
     parser.add_argument("--num_query", type=int, default=16)
     parser.add_argument("--train_batch_size", type=int, default=16)
     parser.add_argument("--per_token", action="store_true")
+    parser.add_argument("--real", action="store_true")
     parser.add_argument("--low_precision", action="store_true")
     parser.add_argument("--output_dir", default="./influence_results/wikitext")
     args = parser.parse_args()
 
-    config = TransformerConfig(
-        vocab_size=args.vocab, max_seq_len=args.seq_len,
-        num_layers=args.num_layers, num_heads=args.num_heads, d_model=args.d_model,
+    module, params = construct_gpt2(
+        args.num_layers, args.d_model, args.num_heads, args.seq_len, args.vocab
     )
-    module = TransformerLM(config)
-    params = module.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, args.seq_len), jnp.int32)
-    )["params"]
     task = LanguageModelingTask(args.num_layers)
     model = prepare_model(module, task)
 
-    train_data = synthetic_tokens(args.num_train, args.seq_len, args.vocab, seed=0)
-    query_data = synthetic_tokens(args.num_query, args.seq_len, args.vocab, seed=1)
+    train_data = get_wikitext_dataset(
+        "train", args.num_train, args.seq_len, args.vocab, real=args.real
+    )
+    query_data = get_wikitext_dataset(
+        "validation", args.num_query, args.seq_len, args.vocab, real=args.real
+    )
 
     if args.low_precision:
         factor_args = all_low_precision_factor_arguments(strategy="ekfac")

@@ -50,12 +50,60 @@ EXAMPLES = {
         "--per_device_batch_size", "4", "--module_partitions", "1",
         "--data_partitions", "1",
     ],
+    "examples.uci.train": ["--num_train", "48", "--epochs", "1",
+                           "--checkpoint_dir", "PLACEHOLDER_TMP"],
+    "examples.uci.run_counterfactual": [
+        "--num_train", "32", "--queries", "4", "--remove", "4",
+        "--epochs", "1", "--seeds", "1",
+    ],
+    "examples.wikitext.run_counterfactual": [
+        "--num_layers", "1", "--d_model", "32", "--num_heads", "2",
+        "--seq_len", "16", "--vocab", "64", "--num_train", "24",
+        "--num_query", "4", "--remove", "4", "--epochs", "1", "--seeds", "1",
+        "--batch_size", "8",
+    ],
+    "examples.wikitext.half_precision_analysis": [
+        "--num_layers", "1", "--d_model", "32", "--num_heads", "2",
+        "--seq_len", "16", "--vocab", "64", "--num_train", "16",
+        "--num_query", "4", "--train_batch_size", "8",
+    ],
+    "examples.wikitext.tokenwise_analysis": [
+        "--num_layers", "1", "--d_model", "32", "--num_heads", "2",
+        "--seq_len", "16", "--vocab", "64", "--num_train", "16",
+        "--num_query", "2", "--train_batch_size", "8",
+    ],
+    "examples.openwebtext.compute_scores": [
+        "--num_layers", "2", "--d_model", "32", "--num_heads", "2",
+        "--seq_len", "16", "--vocab", "128", "--num_train", "16",
+        "--num_query", "4", "--per_device_batch_size", "4",
+        "--query_gradient_low_rank", "4",
+    ],
+    "examples.openwebtext.generate": [
+        "--num_layers", "1", "--d_model", "32", "--num_heads", "2",
+        "--vocab", "64", "--prompt_len", "8", "--gen_len", "4",
+        "--num_train", "16", "--per_device_batch_size", "8",
+    ],
 }
 
 
-@pytest.mark.parametrize("module_name", sorted(EXAMPLES))
-def test_example_runs(module_name, tmp_path, monkeypatch):
-    argv = ["prog"] + EXAMPLES[module_name] + ["--output_dir", str(tmp_path)]
+# Examples that consume artifacts produced by another example: run the
+# producer first with matching shapes in the same --output_dir.
+PREREQUISITES = {
+    "examples.openwebtext.compute_scores": (
+        "examples.openwebtext.fit_factors",
+        [
+            "--num_layers", "2", "--d_model", "32", "--num_heads", "2",
+            "--seq_len", "16", "--vocab", "128", "--num_train", "16",
+            "--per_device_batch_size", "4", "--module_partitions", "1",
+            "--data_partitions", "1",
+        ],
+    ),
+}
+
+
+def _run_example(module_name, extra_args, tmp_path, monkeypatch):
+    args = [a if a != "PLACEHOLDER_TMP" else str(tmp_path) for a in extra_args]
+    argv = ["prog"] + args + ["--output_dir", str(tmp_path)]
     monkeypatch.setattr(sys, "argv", argv)
     script = REPO / (module_name.replace(".", "/") + ".py")
     # A site-packages `examples` namespace dir can win the resolution race if
@@ -65,3 +113,11 @@ def test_example_runs(module_name, tmp_path, monkeypatch):
         del sys.modules[name]
     # run as __main__ so the argparse entry point executes
     runpy.run_path(str(script), run_name="__main__")
+
+
+@pytest.mark.parametrize("module_name", sorted(EXAMPLES))
+def test_example_runs(module_name, tmp_path, monkeypatch):
+    if module_name in PREREQUISITES:
+        pre_name, pre_args = PREREQUISITES[module_name]
+        _run_example(pre_name, pre_args, tmp_path, monkeypatch)
+    _run_example(module_name, EXAMPLES[module_name], tmp_path, monkeypatch)
