@@ -35,14 +35,23 @@ REF_COV_S = 180.0
 REF_EIGH_S = 7.8
 REF_PAIRS_PER_S = REF_QUERY * REF_TRAIN / REF_SCORE_S  # ~1186 pairs/s
 
-# Bench sizes (steady-state rates, extrapolated to the full workload).
+# Bench sizes. Default mode is FULL: the real reference workload (4656 train
+# x 481 queries) executed end-to-end and measured, not extrapolated
+# (round-1 VERDICT #3). KRON_BENCH_QUICK=1 switches to the small
+# steady-state-rate mode (projected totals) for fast tuning iterations.
 # KRON_BENCH_* env vars override the batch knobs for tuning experiments.
 _env = lambda name, default: int(os.environ.get(f"KRON_BENCH_{name}", default))
-N_COV = _env("N_COV", 512)
-N_LAMBDA = _env("N_LAMBDA", 256)
-N_QUERY = _env("N_QUERY", 40)
-N_TRAIN = _env("N_TRAIN", 1024)
+QUICK = bool(_env("QUICK", 0))
+N_COV = _env("N_COV", 512 if QUICK else 4656)
+N_LAMBDA = _env("N_LAMBDA", 256 if QUICK else 4656)
+N_QUERY = _env("N_QUERY", 40 if QUICK else 481)
+N_TRAIN = _env("N_TRAIN", 1024 if QUICK else 4656)
 SEQ = 512
+# Flagship model form: "scan" traces ONE transformer block via scan_layers
+# (seconds-level compiles); "unrolled" traces all 48 modules (round-1
+# behavior, ~260 s covariance compile). Factors are identical either way
+# (tests/test_transformer.py::test_scanned_flagship_matches_unrolled).
+MODEL_FORM = os.environ.get("KRON_BENCH_MODEL", "scan")
 COV_BATCH = _env("COV_BATCH", 16)   # 32 measured slightly worse (125 vs 131 ex/s)
 LAMBDA_BATCH = _env("LAMBDA_BATCH", 32)  # 32 measured ~6% faster than 16
 # Query blocks: small per-step batches accumulated into a 56-query block —
@@ -131,7 +140,6 @@ def main():
             return batch["attention_mask"]
 
     task = WikitextStyleTask()
-    model = prepare_model(module, task)
     t0 = time.time()
     params = jax.jit(
         lambda: module.init(jax.random.PRNGKey(0), jnp.zeros((1, SEQ), jnp.int32))[
@@ -139,7 +147,17 @@ def main():
         ]
     )()
     jax.block_until_ready(params)
-    log(f"init params: {time.time() - t0:.1f}s")
+    if MODEL_FORM == "scan":
+        from kronfluence_tpu.models.transformer import (
+            scanned_lm_apply,
+            stack_layer_params,
+        )
+
+        params = stack_layer_params(params, config.num_layers)
+        model = prepare_model(scanned_lm_apply(config), task)
+    else:
+        model = prepare_model(module, task)
+    log(f"init params ({MODEL_FORM}): {time.time() - t0:.1f}s")
 
     def make_data(n, seed):
         """Synthetic tokens, pre-uploaded to the device: BatchLoader slices
@@ -180,7 +198,9 @@ def main():
             factor_args,
         )
     )
-    log(f"covariance warmup (compile): {time.time() - t0:.1f}s")
+    warmups = {}
+    warmups["cov"] = time.time() - t0
+    log(f"covariance warmup (compile): {warmups['cov']:.1f}s")
     cov_data = make_data(N_COV, 1)
     t0 = time.time()
     cov = fit_covariance_matrices_with_loader(
@@ -195,7 +215,8 @@ def main():
     t0 = time.time()
     eigen = perform_eigendecomposition(cov, factor_args)
     force(eigen)
-    log(f"eigendecomposition warmup (compile): {time.time() - t0:.1f}s")
+    warmups["eigh"] = time.time() - t0
+    log(f"eigendecomposition warmup (compile): {warmups['eigh']:.1f}s")
     t0 = time.time()
     eigen = perform_eigendecomposition(cov, factor_args)
     force(eigen)
@@ -211,7 +232,8 @@ def main():
             factor_args, eigen_factors=eigen,
         )
     )
-    log(f"lambda warmup (compile): {time.time() - t0:.1f}s")
+    warmups["lambda"] = time.time() - t0
+    log(f"lambda warmup (compile): {warmups['lambda']:.1f}s")
     lam_data = make_data(N_LAMBDA, 3)
     t0 = time.time()
     lam = fit_lambda_matrices_with_loader(
@@ -247,14 +269,18 @@ def main():
 
     # ---- Stage 4: pairwise scores ----
     query_data = make_data(N_QUERY, 5)
+    # Warmup compiles the query/train/accumulate steps with ONE query block
+    # over a tiny train set; the measured run below does the real workload.
+    warm_query = {k: v[: QUERY_BATCH * QUERY_ACC] for k, v in query_data.items()}
     t0 = time.time()
     compute_pairwise_scores_with_loaders(
         model, params, task,
-        BatchLoader(query_data, QUERY_BATCH),
+        BatchLoader(warm_query, QUERY_BATCH),
         BatchLoader(make_data(2 * TRAIN_BATCH, 13), TRAIN_BATCH),
         factors, factor_args, score_args,
     )
-    log(f"pairwise warmup (compile): {time.time() - t0:.1f}s")
+    warmups["score"] = time.time() - t0
+    log(f"pairwise warmup (compile): {warmups['score']:.1f}s")
     train_data = make_data(N_TRAIN, 6)
     t0 = time.time()
     compute_pairwise_scores_with_loaders(
@@ -266,24 +292,34 @@ def main():
     pairs_rate = (N_QUERY * N_TRAIN) / stages["score"]
     log(f"pairwise steady: {pairs_rate:.0f} pairs/s")
 
-    # ---- Projection to the full reference workload ----
-    proj = {
-        "cov": REF_TRAIN / cov_rate,
-        "eigh": stages["eigh"],
-        "lambda": REF_TRAIN / lam_rate,
-        "score": REF_QUERY * REF_TRAIN / pairs_rate,
-    }
-    proj_total = sum(proj.values())
+    # ---- Totals vs the full reference workload ----
+    # Full mode (default): every stage RAN the reference-size workload above,
+    # so `totals` are measured wall-clock, not extrapolations. Quick mode
+    # scales the measured steady-state rates to the reference sizes.
+    if QUICK:
+        totals = {
+            "cov": REF_TRAIN / cov_rate,
+            "eigh": stages["eigh"],
+            "lambda": REF_TRAIN / lam_rate,
+            "score": REF_QUERY * REF_TRAIN / pairs_rate,
+        }
+    else:
+        totals = dict(stages)
+    grand = sum(totals.values())
+    cold_total = grand + sum(warmups.values())
     ref = {"cov": REF_COV_S, "eigh": REF_EIGH_S, "lambda": REF_LAMBDA_S, "score": REF_SCORE_S}
+    kind = "projected" if QUICK else "measured"
     log("")
     log(f"{'stage':<10}{'ours (s)':>10}{'A100 fp32 (s)':>15}{'speedup':>9}")
     for k in ("cov", "eigh", "lambda", "score"):
-        log(f"{k:<10}{proj[k]:>10.1f}{ref[k]:>15.1f}{ref[k] / proj[k]:>8.1f}x")
-    log(f"{'total':<10}{proj_total:>10.1f}{REF_TOTAL_S:>15.1f}{REF_TOTAL_S / proj_total:>8.1f}x")
+        log(f"{k:<10}{totals[k]:>10.1f}{ref[k]:>15.1f}{ref[k] / totals[k]:>8.1f}x")
+    log(f"{'total':<10}{grand:>10.1f}{REF_TOTAL_S:>15.1f}{REF_TOTAL_S / grand:>8.1f}x")
     log(
-        f"projected GPT-2/WikiText e2e: {proj_total:.0f}s "
-        f"(ref fp32 {REF_TOTAL_S:.0f}s -> {REF_TOTAL_S / proj_total:.2f}x; "
-        f"ref bf16 786s -> {786 / proj_total:.2f}x)"
+        f"{kind} GPT-2/WikiText e2e: warm {grand:.0f}s, "
+        f"cold (incl. {sum(warmups.values()):.0f}s compile) {cold_total:.0f}s "
+        f"(ref fp32 {REF_TOTAL_S:.0f}s -> {REF_TOTAL_S / grand:.2f}x warm, "
+        f"{REF_TOTAL_S / cold_total:.2f}x cold; "
+        f"ref bf16 786s -> {786 / grand:.2f}x warm)"
     )
 
     print(
@@ -293,6 +329,13 @@ def main():
                 "value": round(pairs_rate, 1),
                 "unit": "pairs/sec/chip",
                 "vs_baseline": round(pairs_rate / REF_PAIRS_PER_S, 3),
+                "mode": "quick_projected" if QUICK else "full_measured",
+                "model_form": MODEL_FORM,
+                "e2e_warm_s": round(grand, 1),
+                "e2e_cold_s": round(cold_total, 1),
+                "e2e_vs_ref_fp32": round(REF_TOTAL_S / grand, 2),
+                "stages_s": {k: round(v, 1) for k, v in totals.items()},
+                "warmups_s": {k: round(v, 1) for k, v in warmups.items()},
             }
         ),
         flush=True,

@@ -131,3 +131,114 @@ def init_transformer(
     ids = jnp.zeros((batch, config.max_seq_len), jnp.int32)
     params = module.init(jax.random.PRNGKey(seed), ids)["params"]
     return module, params
+
+
+# ---------------------------------------------------------------------------
+# Scanned flagship: one block traced once, lax.scan over stacked layer params.
+#
+# The unrolled TransformerLM above traces num_layers copies of the block into
+# the step HLO — fine for correctness, but cold-start compilation scales with
+# layer count (the round-1 bench paid ~260 s compiling the 48-module
+# covariance step). The production path scans ONE block over a stacked
+# (L, ...) parameter pytree via `capture.functional.scan_layers`, which
+# threads influence capture through the scan so per-layer factors still come
+# out under the exact names the unrolled model produces (`h_3/mlp/c_fc`, ...).
+# ---------------------------------------------------------------------------
+
+
+def stack_layer_params(params: Any, num_layers: int) -> Any:
+    """Convert unrolled TransformerLM params into the scanned layout.
+
+    The per-layer subtrees ``h_0 .. h_{L-1}`` are stacked leaf-wise into one
+    ``blocks`` subtree with a leading (L,) axis; everything else (embeddings,
+    final norm, lm_head) is passed through unchanged.
+    """
+    layers = [params[f"h_{i}"] for i in range(num_layers)]
+    blocks = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    rest = {k: v for k, v in params.items() if not k.startswith("h_")}
+    return {"blocks": blocks, **rest}
+
+
+def scanned_lm_apply(config: TransformerConfig):
+    """Functional GPT-2 forward over `stack_layer_params` params.
+
+    Numerically identical to `TransformerLM.__call__` (same op sequence and
+    dtype promotions as the flax modules), but the layer stack runs under
+    `scan_layers`, so the traced program contains ONE block regardless of
+    `num_layers`. Tracked module names match the unrolled model exactly.
+
+    Returns an ``apply(params, input_ids, attention_mask=None) -> logits``
+    function suitable for `prepare_model`.
+    """
+    from kronfluence_tpu import nn as knn
+    from kronfluence_tpu.capture.functional import scan_layers
+
+    cfg = config
+    head_dim = cfg.d_model // cfg.num_heads
+
+    def cast(p):
+        return p.astype(cfg.dtype)
+
+    def layer_norm(x, p):
+        # flax LayerNorm semantics: stats in (at least) fp32, fast variance,
+        # eps 1e-6, then scale/bias applied in the compute dtype.
+        xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+        y = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)).astype(cfg.dtype)
+        return y * cast(p["scale"]) + cast(p["bias"])
+
+    def attention(x, p, attention_mask):
+        b, t, d = x.shape
+        qkv = knn.linear(
+            x, cast(p["c_attn"]["kernel"]), cast(p["c_attn"]["bias"]),
+            name="attn/c_attn",
+        )
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(z):
+            return z.reshape(b, t, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(head_dim).astype(cfg.dtype)
+        causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+        mask = causal[None, None]
+        if attention_mask is not None:
+            mask = mask & (attention_mask[:, None, None, :] > 0)
+        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        return knn.linear(
+            out, cast(p["c_proj"]["kernel"]), cast(p["c_proj"]["bias"]),
+            name="attn/c_proj",
+        )
+
+    def mlp(x, p):
+        h = knn.linear(
+            x, cast(p["c_fc"]["kernel"]), cast(p["c_fc"]["bias"]), name="mlp/c_fc"
+        )
+        h = jax.nn.gelu(h)
+        return knn.linear(
+            h, cast(p["c_proj"]["kernel"]), cast(p["c_proj"]["bias"]),
+            name="mlp/c_proj",
+        )
+
+    def apply(params, input_ids, attention_mask=None):
+        t = input_ids.shape[1]
+        tok = jnp.take(cast(params["wte"]["embedding"]), input_ids, axis=0)
+        pos = jnp.take(
+            cast(params["wpe"]["embedding"]), jnp.arange(t)[None], axis=0
+        )
+        x = tok + pos
+
+        def body(h, layer):
+            h = h + attention(layer_norm(h, layer["ln_1"]), layer["attn"], attention_mask)
+            h = h + mlp(layer_norm(h, layer["ln_2"]), layer["mlp"])
+            return h, None
+
+        x, _ = scan_layers(body, x, params["blocks"], name_format="h_{i}")
+        x = layer_norm(x, params["ln_f"])
+        return jnp.matmul(x, cast(params["lm_head"]["kernel"]))
+
+    return apply

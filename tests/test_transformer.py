@@ -159,3 +159,75 @@ def test_sampled_fisher_runs(lm_setup):
         f1[ACTIVATION_COVARIANCE_MATRIX_NAME][name],
         f2[ACTIVATION_COVARIANCE_MATRIX_NAME][name],
     )
+
+
+def test_scanned_flagship_matches_unrolled():
+    """`scanned_lm_apply` (one block under scan_layers) must match the unrolled
+    flax TransformerLM: logits, per-layer covariance AND lambda factors, under
+    identical params. This is the bench's production path (VERDICT round-1 #2)."""
+    from kronfluence_tpu.models.transformer import (
+        TransformerConfig,
+        TransformerLM,
+        scanned_lm_apply,
+        stack_layer_params,
+    )
+    from kronfluence_tpu.utils.constants import (
+        GRADIENT_COVARIANCE_MATRIX_NAME,
+        LAMBDA_MATRIX_NAME,
+    )
+    from tests.testable_tasks.language_modeling import LanguageModelingTask
+    from kronfluence_tpu.prepare import prepare_model
+
+    config = TransformerConfig(
+        vocab_size=96, max_seq_len=12, num_layers=3, num_heads=2, d_model=16,
+        dtype=jnp.float64, param_dtype=jnp.float64,
+    )
+    module = TransformerLM(config)
+    params = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, config.max_seq_len), jnp.int32)
+    )["params"]
+    stacked = stack_layer_params(params, config.num_layers)
+    apply_scanned = scanned_lm_apply(config)
+
+    data = make_lm_data(10, seq_len=config.max_seq_len, vocab=config.vocab_size)
+    ids = jnp.asarray(data["input_ids"])
+    mask = jnp.asarray(data["attention_mask"])
+    logits_u = module.apply({"params": params}, ids, mask)
+    logits_s = apply_scanned(stacked, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(logits_s), np.asarray(logits_u), rtol=1e-12, atol=1e-12
+    )
+
+    task = LanguageModelingTask()
+    args = FactorArguments(strategy="ekfac", **FP64_FACTOR)
+
+    def fit(model, p):
+        loader = BatchLoader(data, 5)
+        cov = fit_covariance_matrices_with_loader(model, p, task, loader, args)
+        eigen = perform_eigendecomposition(cov, args)
+        lam = fit_lambda_matrices_with_loader(
+            model, p, task, loader, args, eigen_factors=eigen
+        )
+        return cov, lam
+
+    cov_u, lam_u = fit(prepare_model(module, task), params)
+    cov_s, lam_s = fit(prepare_model(apply_scanned, task), stacked)
+
+    block_names = sorted(
+        n for n in cov_u[ACTIVATION_COVARIANCE_MATRIX_NAME] if n.startswith("h_")
+    )
+    assert block_names == sorted(
+        n for n in cov_s[ACTIVATION_COVARIANCE_MATRIX_NAME] if n.startswith("h_")
+    )
+    assert len(block_names) == config.num_layers * 4
+    for name in block_names:
+        for factor in (ACTIVATION_COVARIANCE_MATRIX_NAME, GRADIENT_COVARIANCE_MATRIX_NAME):
+            np.testing.assert_allclose(
+                np.asarray(cov_s[factor][name]), np.asarray(cov_u[factor][name]),
+                rtol=1e-9, atol=1e-12, err_msg=name,
+            )
+        np.testing.assert_allclose(
+            np.asarray(lam_s[LAMBDA_MATRIX_NAME][name]),
+            np.asarray(lam_u[LAMBDA_MATRIX_NAME][name]),
+            rtol=1e-7, atol=1e-10, err_msg=name,
+        )
