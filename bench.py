@@ -47,11 +47,19 @@ N_LAMBDA = _env("N_LAMBDA", 256 if QUICK else 4656)
 N_QUERY = _env("N_QUERY", 40 if QUICK else 481)
 N_TRAIN = _env("N_TRAIN", 1024 if QUICK else 4656)
 SEQ = 512
-# Flagship model form: "scan" traces ONE transformer block via scan_layers
-# (seconds-level compiles); "unrolled" traces all 48 modules (round-1
-# behavior, ~260 s covariance compile). Factors are identical either way
-# (tests/test_transformer.py::test_scanned_flagship_matches_unrolled).
-MODEL_FORM = os.environ.get("KRON_BENCH_MODEL", "scan")
+# Flagship model form. Both were measured on the v5e (2026-08-17):
+#   unrolled: cov compile 262 s (round 1) / 153 s cached-load, steady 121 ex/s
+#   scan:     cov compile 681 s, steady 107.6 ex/s, lambda OOM at batch 32
+#             (backward-of-scan keeps every layer's attention probs live;
+#             scan+remat fixes memory at ~+25% recompute)
+# XLA's while-loop compilation path is SLOWER than the unrolled 48-module HLO
+# here, and on this tunneled backend warmup is dominated by uploading cached
+# executables either way — so the unrolled form stays the production default,
+# and scan(+remat) remains the supported option for depths where unrolled
+# tracing is infeasible. Factors are identical across all three forms
+# (tests/test_transformer.py, tests/test_scan_remat.py).
+MODEL_FORM = os.environ.get("KRON_BENCH_MODEL", "unrolled")
+SCAN_REMAT = bool(_env("SCAN_REMAT", 0))
 COV_BATCH = _env("COV_BATCH", 16)   # 32 measured slightly worse (125 vs 131 ex/s)
 LAMBDA_BATCH = _env("LAMBDA_BATCH", 32)  # 32 measured ~6% faster than 16
 # Query blocks: small per-step batches accumulated into a 56-query block —
@@ -154,7 +162,7 @@ def main():
         )
 
         params = stack_layer_params(params, config.num_layers)
-        model = prepare_model(scanned_lm_apply(config), task)
+        model = prepare_model(scanned_lm_apply(config, remat=SCAN_REMAT), task)
     else:
         model = prepare_model(module, task)
     log(f"init params ({MODEL_FORM}): {time.time() - t0:.1f}s")

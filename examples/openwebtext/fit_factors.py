@@ -34,9 +34,15 @@ from examples.openwebtext.task import MLPOnlyLMTask
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--arch", choices=("gpt2", "llama"), default="gpt2",
+                        help="llama = RMSNorm/RoPE/GQA/SwiGLU, no-bias Dense "
+                             "(the reference's actual 8B architecture)")
     parser.add_argument("--num_layers", type=int, default=4)
     parser.add_argument("--d_model", type=int, default=512)
+    parser.add_argument("--d_mlp", type=int, default=None,
+                        help="llama MLP width (real 8B: 14336)")
     parser.add_argument("--num_heads", type=int, default=8)
+    parser.add_argument("--num_kv_heads", type=int, default=None)
     parser.add_argument("--seq_len", type=int, default=256)
     parser.add_argument("--vocab", type=int, default=8192)
     parser.add_argument("--num_train", type=int, default=256)
@@ -50,13 +56,28 @@ def main():
     mesh = make_mesh(model=args.model_parallel)
     print(f"mesh: {dict(mesh.shape)}")
 
-    config = TransformerConfig(
-        vocab_size=args.vocab, max_seq_len=args.seq_len,
-        num_layers=args.num_layers, num_heads=args.num_heads, d_model=args.d_model,
-        dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
-    )
-    module = TransformerLM(config)
-    task = MLPOnlyLMTask(args.num_layers)
+    if args.arch == "llama":
+        from kronfluence_tpu.models.llama import LlamaConfig, LlamaLM
+
+        from examples.openwebtext.task import LlamaMLPOnlyTask
+
+        config = LlamaConfig(
+            vocab_size=args.vocab, max_seq_len=args.seq_len,
+            num_layers=args.num_layers, num_heads=args.num_heads,
+            num_kv_heads=args.num_kv_heads or max(1, args.num_heads // 4),
+            d_model=args.d_model, d_mlp=args.d_mlp or (args.d_model * 7 // 2),
+            dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+        )
+        module = LlamaLM(config)
+        task = LlamaMLPOnlyTask(args.num_layers)
+    else:
+        config = TransformerConfig(
+            vocab_size=args.vocab, max_seq_len=args.seq_len,
+            num_layers=args.num_layers, num_heads=args.num_heads, d_model=args.d_model,
+            dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+        )
+        module = TransformerLM(config)
+        task = MLPOnlyLMTask(args.num_layers)
     model = prepare_model(module, task)
     params = module.init(
         jax.random.PRNGKey(0), jnp.zeros((1, args.seq_len), jnp.int32)

@@ -57,3 +57,14 @@ class MLPOnlyLMTask(Task):
         return batch["attention_mask"]
 
 
+class LlamaMLPOnlyTask(MLPOnlyLMTask):
+    """Same margin measurement over Llama module paths: the reference's
+    actual tracked set (examples/openwebtext/task.py:53-68 tracks
+    mlp.{gate,up,down}_proj of every layer)."""
+
+    def get_influence_tracked_modules(self):
+        from kronfluence_tpu.models.llama import mlp_tracked_modules
+
+        return mlp_tracked_modules(self.num_layers)
+
+

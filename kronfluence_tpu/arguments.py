@@ -50,6 +50,9 @@ class FactorArguments(Arguments):
     use_empirical_fisher: bool = False
     amp_dtype: Optional[Any] = None
     amp_scale: float = 2.0**16  # Active for float16 autocast (see module docstring).
+    # Accepted for reference config parity but a no-op here: shared-parameter
+    # modules are auto-detected from trace-time use counts (capture/context.py),
+    # so there is nothing to declare. See reference arguments.py:48.
     has_shared_parameters: bool = False
     # RNG seed for sampled-label (true Fisher) loss. The reference relies on
     # torch's implicit global RNG; JAX requires an explicit key.

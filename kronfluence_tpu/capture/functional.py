@@ -97,6 +97,7 @@ def scan_layers(
     init,
     xs,
     name_format: str = "layer_{i}",
+    remat: bool = False,
 ):
     """Capture-aware `lax.scan` over stacked layer parameters.
 
@@ -131,7 +132,8 @@ def scan_layers(
 
     ctx = current_context()
     if ctx is None:
-        return jax.lax.scan(body_fn, init, xs)
+        body = jax.checkpoint(body_fn) if remat else body_fn
+        return jax.lax.scan(body, init, xs)
 
     length = jax.tree_util.tree_leaves(xs)[0].shape[0]
 
@@ -183,11 +185,25 @@ def scan_layers(
 
     def wrapped_body(carry, x_and_probes):
         x, probe_slices = x_and_probes
-        sub = CaptureContext(CAPTURE, probes=probe_slices,
-                             tracked_names=list(tracked_inner))
-        with activate(sub):
-            carry, y = body_fn(carry, x)
-        return carry, (y, sub.activations)
+
+        def inner(carry, x, probe_slices):
+            sub = CaptureContext(CAPTURE, probes=probe_slices,
+                                 tracked_names=list(tracked_inner))
+            with activate(sub):
+                carry, y = body_fn(carry, x)
+            return carry, y, sub.activations
+
+        if remat:
+            # Per-block gradient checkpointing INSIDE the scan: only the block
+            # inputs and the tapped activations (which influence analysis needs
+            # anyway) are saved across the forward scan; attention internals
+            # (probs, qkv) rematerialize in the backward scan. Without this, a
+            # deep model's backward-of-scan holds every layer's attention
+            # weights live at once (the 12-layer GPT-2 lambda step exceeds a
+            # v5e's 16 GB HBM at batch 32).
+            inner = jax.checkpoint(inner)
+        carry, y, acts = inner(carry, x, probe_slices)
+        return carry, (y, acts)
 
     carry, (ys, acts) = jax.lax.scan(wrapped_body, init, (xs, probes_stacked))
 

@@ -81,9 +81,20 @@ def _device_eigendecomposition(covariance_factors, eigen_factors, solver="auto")
     one-time compile per shape, amortized by the persistent cache); "jacobi" =
     the custom blocked-Jacobi solver (compiles in seconds; ~3-4x slower runs).
     """
-    from kronfluence_tpu.ops.eigh import eigh_batched, eigh_stock_batched
+    from kronfluence_tpu.ops.eigh import (
+        LARGE_EIGH_DIM,
+        eigh_batched,
+        eigh_large,
+        eigh_stock_batched,
+    )
 
-    solve = eigh_batched if solver == "jacobi" else eigh_stock_batched
+    base_solve = eigh_batched if solver == "jacobi" else eigh_stock_batched
+
+    def solve(normalized):
+        # Llama-scale dims: one matrix at a time + host-fp64 OOM fallback.
+        if normalized.shape[-1] >= LARGE_EIGH_DIM:
+            return eigh_large(normalized)
+        return base_solve(normalized)
 
     for cov_name, count_name, evec_name, eval_name in _FACTOR_PAIRS:
         groups: Dict[int, list] = {}

@@ -159,7 +159,7 @@ def stack_layer_params(params: Any, num_layers: int) -> Any:
     return {"blocks": blocks, **rest}
 
 
-def scanned_lm_apply(config: TransformerConfig):
+def scanned_lm_apply(config: TransformerConfig, remat: bool = False):
     """Functional GPT-2 forward over `stack_layer_params` params.
 
     Numerically identical to `TransformerLM.__call__` (same op sequence and
@@ -237,7 +237,7 @@ def scanned_lm_apply(config: TransformerConfig):
             h = h + mlp(layer_norm(h, layer["ln_2"]), layer["mlp"])
             return h, None
 
-        x, _ = scan_layers(body, x, params["blocks"], name_format="h_{i}")
+        x, _ = scan_layers(body, x, params["blocks"], name_format="h_{i}", remat=remat)
         x = layer_norm(x, params["ln_f"])
         return jnp.matmul(x, cast(params["lm_head"]["kernel"]))
 

@@ -289,6 +289,53 @@ def eigh_stock_batched(
     )
 
 
+# Above this dimension, matrices are eigendecomposed one at a time (QDWH's
+# workspace for a single 14336^2 fp32 matrix is already multiple GB) with a
+# host-LAPACK fp64 fallback on device memory exhaustion — the TPU analogue of
+# the reference's GPU->CPU OOM retry (kronfluence/factor/eigen.py:199-213).
+LARGE_EIGH_DIM = 6144
+
+
+def eigh_large(
+    matrices: jax.Array, _device_solver=None
+) -> Tuple[jax.Array, jax.Array]:
+    """Llama-scale eigendecomposition: per-matrix device QDWH, falling back to
+    host fp64 LAPACK per matrix if the device solve exhausts HBM.
+
+    Args:
+        matrices: (..., n, n) symmetric, typically n >= LARGE_EIGH_DIM.
+        _device_solver: test hook; replaces the device eigh.
+    """
+    batch_shape = matrices.shape[:-2]
+    n = matrices.shape[-1]
+    A = matrices.reshape((-1, n, n)).astype(jnp.float32)
+    solve = _device_solver or jax.jit(jnp.linalg.eigh)
+    ev_parts, vec_parts = [], []
+    for i in range(A.shape[0]):
+        try:
+            ev, vec = solve(A[i])
+            jax.block_until_ready((ev, vec))
+        except Exception as exc:  # noqa: BLE001 — re-raised unless memory-related
+            message = str(exc)
+            if not any(
+                key in message
+                for key in ("RESOURCE_EXHAUSTED", "Out of memory", "out of memory", "OOM")
+            ):
+                raise
+            host = np.asarray(A[i], dtype=np.float64)
+            ev_np, vec_np = np.linalg.eigh(host)
+            ev = jnp.asarray(ev_np.astype(np.float32))
+            vec = jnp.asarray(vec_np.astype(np.float32))
+        ev_parts.append(ev)
+        vec_parts.append(vec)
+    evals = jnp.stack(ev_parts)
+    vecs = jnp.stack(vec_parts)
+    return (
+        evals.reshape(batch_shape + (n,)),
+        vecs.reshape(batch_shape + (n, n)),
+    )
+
+
 def eigh_batched(
     matrices: jax.Array,
     block_size: int = 32,

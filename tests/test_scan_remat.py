@@ -211,3 +211,31 @@ def test_iterative_lambda_matches_batched():
             np.asarray(lam[LAMBDA_MATRIX_NAME][name]),
             rtol=1e-9, atol=1e-12,
         )
+
+
+def test_scan_remat_factors_match_unrolled():
+    """scan_layers(remat=True): per-block checkpointing inside the scan must
+    leave factors identical (only backward memory behavior changes)."""
+    params = _stacked_params()
+
+    def _scanned_remat(params, x):
+        def body(h, layer):
+            out = jnp.tanh(knn.linear(h, layer["w"], layer["b"], name="dense"))
+            return out, None
+
+        h, _ = scan_layers(body, x, params, name_format="blk_{i}", remat=True)
+        return h
+
+    cov_u, _, lam_u = _fit(_unrolled_apply, params)
+    cov_s, _, lam_s = _fit(_scanned_remat, params)
+    for name in [f"blk_{i}/dense" for i in range(L)]:
+        for factor in (ACTIVATION_COVARIANCE_MATRIX_NAME, GRADIENT_COVARIANCE_MATRIX_NAME):
+            np.testing.assert_allclose(
+                np.asarray(cov_s[factor][name]), np.asarray(cov_u[factor][name]),
+                rtol=1e-12, atol=1e-12,
+            )
+        np.testing.assert_allclose(
+            np.asarray(lam_s[LAMBDA_MATRIX_NAME][name]),
+            np.asarray(lam_u[LAMBDA_MATRIX_NAME][name]),
+            rtol=1e-9, atol=1e-12,
+        )
