@@ -96,17 +96,17 @@ def discover_stage_specs(
     return specs
 
 
-def _build_covariance_step(
-    model, task, tracked_key_, act_dtype, grad_dtype, sample, mesh,
-    amp_dtype=None, remat=False, out_shardings=None, amp_scale=None,
+def _make_covariance_update(
+    model, task, tracked_key_, act_dtype, grad_dtype, sample,
+    amp_dtype=None, remat=False, amp_scale=None,
 ):
+    """Pure per-batch update shared by the jitted step and the scanned loop."""
     act_accum = accumulation_dtype(act_dtype)
     grad_accum = accumulation_dtype(grad_dtype)
     tracked = list(tracked_key_) if tracked_key_ is not None else None
     scale = loss_scale_for(amp_dtype, amp_scale)
 
-    @partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)
-    def step(state, params, batch, valid, rng):
+    def update(state, params, batch, valid, rng):
         params = cast_params(params, amp_dtype)
         forward = train_loss_forward(model, task, params, batch, sample, rng)
         _, captures = capture(forward, tracked, remat=remat, loss_scale=scale)
@@ -118,13 +118,28 @@ def _build_covariance_step(
             for a, dy in zip(cap.activations, cap.output_gradients):
                 a_flat, count_a = flatten_activation(spec, a, att, valid, act_dtype)
                 mod_state[ACTIVATION_COVARIANCE_MATRIX_NAME] += gram(a_flat, act_accum)
-                mod_state[NUM_ACTIVATION_COVARIANCE_PROCESSED] += count_a
+                mod_state[NUM_ACTIVATION_COVARIANCE_PROCESSED] += count_a.astype(
+                    mod_state[NUM_ACTIVATION_COVARIANCE_PROCESSED].dtype
+                )
                 g_flat, count_g = flatten_gradient(spec, dy, att, valid, grad_dtype)
                 mod_state[GRADIENT_COVARIANCE_MATRIX_NAME] += gram(g_flat, grad_accum)
-                mod_state[NUM_GRADIENT_COVARIANCE_PROCESSED] += count_g
+                mod_state[NUM_GRADIENT_COVARIANCE_PROCESSED] += count_g.astype(
+                    mod_state[NUM_GRADIENT_COVARIANCE_PROCESSED].dtype
+                )
         return state
 
-    return step
+    return update
+
+
+def _build_covariance_step(
+    model, task, tracked_key_, act_dtype, grad_dtype, sample, mesh,
+    amp_dtype=None, remat=False, out_shardings=None, amp_scale=None,
+):
+    update = _make_covariance_update(
+        model, task, tracked_key_, act_dtype, grad_dtype, sample,
+        amp_dtype, remat, amp_scale,
+    )
+    return partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)(update)
 
 
 def fit_covariance_matrices_with_loader(
@@ -152,9 +167,10 @@ def fit_covariance_matrices_with_loader(
     sample = not factor_args.use_empirical_fisher
     base_rng = jax.random.PRNGKey(factor_args.seed)
 
-    loader_iter = iter(loader)
+    from kronfluence_tpu.utils.dataset import probe_first
+
     try:
-        first_batch, first_valid = next(loader_iter)
+        first_batch, first_valid = probe_first(loader)
     except StopIteration:
         raise ValueError("Empty loader for covariance fitting.")
 
@@ -188,33 +204,67 @@ def fit_covariance_matrices_with_loader(
     amp_dtype = factor_args.amp_dtype
     remat = factor_args.offload_activations_to_cpu
     tkey = tracked_key(tracked_names)
-    step = cached_step(
-        model,
-        (
-            "covariance", model.task_key(task), tkey, str(act_dtype), str(grad_dtype),
-            sample, mesh, str(amp_dtype), remat,
-        ),
-        lambda: _build_covariance_step(
-            model, task, tkey, act_dtype, grad_dtype, sample, mesh, amp_dtype, remat,
-            out_shardings, factor_args.amp_scale,
-        ),
+    sig = (
+        "covariance", model.task_key(task), tkey, str(act_dtype), str(grad_dtype),
+        sample, mesh, str(amp_dtype), remat,
     )
 
-    step_idx = 0
+    from kronfluence_tpu.utils.scan_loop import run_scanned, scan_plan, scanned_superstep
 
-    def run_batch(batch, valid):
-        nonlocal state, step_idx
-        rng = jax.random.fold_in(base_rng, step_idx)
-        state = step(state, params, batch, valid, rng)
-        step_idx += 1
+    plan = scan_plan(loader, mesh)
+    if plan is not None:
+        # Device-resident data, no mesh: run the whole loop on device in
+        # fixed-length scan chunks — one dispatch per chunk instead of ~5
+        # per batch (see utils/scan_loop.py).
+        superstep = cached_step(
+            model,
+            sig + ("scan", plan.batch_size),
+            lambda: scanned_superstep(
+                _make_covariance_update(
+                    model, task, tkey, act_dtype, grad_dtype, sample,
+                    amp_dtype, remat, factor_args.amp_scale,
+                ),
+                plan.batch_size,
+            ),
+        )
+        with profiler.profile("Covariance: scanned batch loop"):
+            state = run_scanned(
+                plan,
+                state,
+                lambda st, cols, starts, nv, idxs: superstep(
+                    st, params, cols, starts, nv, idxs, base_rng
+                ),
+                progress_desc="Fitting covariance matrices",
+            )
+        with profiler.profile("Covariance: device sync"):
+            jax.block_until_ready(state)
+    else:
+        step = cached_step(
+            model,
+            sig,
+            lambda: _build_covariance_step(
+                model, task, tkey, act_dtype, grad_dtype, sample, mesh, amp_dtype,
+                remat, out_shardings, factor_args.amp_scale,
+            ),
+        )
 
-    with profiler.profile("Covariance: first step (compile)"):
-        run_batch(shard_batch(mesh, first_batch), shard_batch(mesh, first_valid))
-    with profiler.profile("Covariance: batch loop"):
-        for batch, valid in device_prefetch(loader_iter, mesh):
-            run_batch(batch, valid)
-    with profiler.profile("Covariance: device sync"):
-        jax.block_until_ready(state)
+        step_idx = 0
+
+        def run_batch(batch, valid):
+            nonlocal state, step_idx
+            rng = jax.random.fold_in(base_rng, step_idx)
+            state = step(state, params, batch, valid, rng)
+            step_idx += 1
+
+        loader_iter = iter(loader)
+        first_batch, first_valid = next(loader_iter)
+        with profiler.profile("Covariance: first step (compile)"):
+            run_batch(shard_batch(mesh, first_batch), shard_batch(mesh, first_valid))
+        with profiler.profile("Covariance: batch loop"):
+            for batch, valid in device_prefetch(loader_iter, mesh):
+                run_batch(batch, valid)
+        with profiler.profile("Covariance: device sync"):
+            jax.block_until_ready(state)
 
     # Assemble the factor dict (factor_name -> module -> array) in the
     # requested artifact dtypes. Results stay ON DEVICE: the eigendecomposition

@@ -173,10 +173,11 @@ def perform_eigendecomposition(
     return eigen_factors
 
 
-def _build_lambda_step(
-    model, task, tracked_key_, psg_dtype, lambda_dtype, sample, mesh, use_eigenbasis,
-    iterative, remat, amp_dtype=None, out_shardings=None, amp_scale=None,
+def _make_lambda_update(
+    model, task, tracked_key_, psg_dtype, lambda_dtype, sample, use_eigenbasis,
+    iterative, remat, amp_dtype=None, amp_scale=None,
 ):
+    """Pure per-batch update shared by the jitted step and the scanned loop."""
     lambda_accum = accumulation_dtype(lambda_dtype)
     tracked = list(tracked_key_) if tracked_key_ is not None else None
     post_process = task.enable_post_process_per_sample_gradient
@@ -239,8 +240,7 @@ def _build_lambda_step(
             total = contrib if total is None else total + contrib
         return total
 
-    @partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)
-    def step(state, params, batch, valid, rng, q_a_all, q_g_all):
+    def update(state, params, batch, valid, rng, q_a_all, q_g_all):
         params = cast_params(params, amp_dtype)
         forward = train_loss_forward(model, task, params, batch, sample, rng)
         _, captures = capture(forward, tracked, remat=remat, loss_scale=scale)
@@ -249,11 +249,24 @@ def _build_lambda_step(
             state[name][LAMBDA_MATRIX_NAME] += _lambda_contribution(
                 cap.spec, name, cap.activations, cap.output_gradients, valid,
                 q_a_all.get(name), q_g_all.get(name),
+            ).astype(state[name][LAMBDA_MATRIX_NAME].dtype)
+            state[name][NUM_LAMBDA_PROCESSED] += num_valid.astype(
+                state[name][NUM_LAMBDA_PROCESSED].dtype
             )
-            state[name][NUM_LAMBDA_PROCESSED] += num_valid
         return state
 
-    return step
+    return update
+
+
+def _build_lambda_step(
+    model, task, tracked_key_, psg_dtype, lambda_dtype, sample, mesh, use_eigenbasis,
+    iterative, remat, amp_dtype=None, out_shardings=None, amp_scale=None,
+):
+    update = _make_lambda_update(
+        model, task, tracked_key_, psg_dtype, lambda_dtype, sample, use_eigenbasis,
+        iterative, remat, amp_dtype, amp_scale,
+    )
+    return partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)(update)
 
 
 def fit_lambda_matrices_with_loader(
@@ -302,9 +315,10 @@ def fit_lambda_matrices_with_loader(
     else:
         q_a_host, q_g_host = {}, {}
 
-    loader_iter = iter(loader)
+    from kronfluence_tpu.utils.dataset import probe_first
+
     try:
-        first_batch, first_valid = next(loader_iter)
+        first_batch, first_valid = probe_first(loader)
     except StopIteration:
         raise ValueError("Empty loader for lambda fitting.")
     specs = discover_stage_specs(model, task, params, first_batch, tracked_names)
@@ -332,33 +346,68 @@ def fit_lambda_matrices_with_loader(
     remat = factor_args.offload_activations_to_cpu
     amp_dtype = factor_args.amp_dtype
     tkey = tracked_key(tracked_names)
-    step = cached_step(
-        model,
-        (
-            "lambda", model.task_key(task), tkey, str(psg_dtype), str(lambda_dtype),
-            sample, mesh, use_eigenbasis, iterative, remat, str(amp_dtype),
-        ),
-        lambda: _build_lambda_step(
-            model, task, tkey, psg_dtype, lambda_dtype, sample, mesh, use_eigenbasis,
-            iterative, remat, amp_dtype, out_shardings, factor_args.amp_scale,
-        ),
+    sig = (
+        "lambda", model.task_key(task), tkey, str(psg_dtype), str(lambda_dtype),
+        sample, mesh, use_eigenbasis, iterative, remat, str(amp_dtype),
     )
 
-    step_idx = 0
+    from kronfluence_tpu.utils.scan_loop import run_scanned, scan_plan, scanned_superstep
 
-    def run_batch(batch, valid):
-        nonlocal state, step_idx
-        rng = jax.random.fold_in(base_rng, step_idx)
-        state = step(state, params, batch, valid, rng, q_a_host, q_g_host)
-        step_idx += 1
+    plan = scan_plan(loader, mesh)
+    if plan is not None:
+        # Device-resident data, no mesh: one dispatch per scan chunk instead
+        # of ~5 per batch (see utils/scan_loop.py).
+        superstep = cached_step(
+            model,
+            sig + ("scan", plan.batch_size),
+            lambda: scanned_superstep(
+                _make_lambda_update(
+                    model, task, tkey, psg_dtype, lambda_dtype, sample,
+                    use_eigenbasis, iterative, remat, amp_dtype,
+                    factor_args.amp_scale,
+                ),
+                plan.batch_size,
+            ),
+        )
+        with profiler.profile("Lambda: scanned batch loop"):
+            state = run_scanned(
+                plan,
+                state,
+                lambda st, cols, starts, nv, idxs: superstep(
+                    st, params, cols, starts, nv, idxs, base_rng, q_a_host, q_g_host
+                ),
+                progress_desc="Fitting lambda matrices",
+            )
+        with profiler.profile("Lambda: device sync"):
+            jax.block_until_ready(state)
+    else:
+        step = cached_step(
+            model,
+            sig,
+            lambda: _build_lambda_step(
+                model, task, tkey, psg_dtype, lambda_dtype, sample, mesh,
+                use_eigenbasis, iterative, remat, amp_dtype, out_shardings,
+                factor_args.amp_scale,
+            ),
+        )
 
-    with profiler.profile("Lambda: first step (compile)"):
-        run_batch(shard_batch(mesh, first_batch), shard_batch(mesh, first_valid))
-    with profiler.profile("Lambda: batch loop"):
-        for batch, valid in device_prefetch(loader_iter, mesh):
-            run_batch(batch, valid)
-    with profiler.profile("Lambda: device sync"):
-        jax.block_until_ready(state)
+        step_idx = 0
+
+        def run_batch(batch, valid):
+            nonlocal state, step_idx
+            rng = jax.random.fold_in(base_rng, step_idx)
+            state = step(state, params, batch, valid, rng, q_a_host, q_g_host)
+            step_idx += 1
+
+        loader_iter = iter(loader)
+        first_batch, first_valid = next(loader_iter)
+        with profiler.profile("Lambda: first step (compile)"):
+            run_batch(shard_batch(mesh, first_batch), shard_batch(mesh, first_valid))
+        with profiler.profile("Lambda: batch loop"):
+            for batch, valid in device_prefetch(loader_iter, mesh):
+                run_batch(batch, valid)
+        with profiler.profile("Lambda: device sync"):
+            jax.block_until_ready(state)
 
     # Device-resident results; the save path bulk-fetches when persisting.
     result: Dict[str, Dict[str, Any]] = {LAMBDA_MATRIX_NAME: {}, NUM_LAMBDA_PROCESSED: {}}

@@ -92,14 +92,15 @@ def _build_query_step(model, task, tracked, score_args, strategy, mesh=None):
     return query_step
 
 
-def _build_train_step(model, task, tracked, score_args, per_module, mesh=None):
+def _make_train_apply(model, task, tracked, score_args, per_module):
+    """Pure per-batch train scoring body shared by the jitted step and the
+    scanned loop: (params, batch, valid, query_block) -> per-module slabs."""
     psg_dtype = resolve_dtype(score_args.per_sample_gradient_dtype)
     score_dtype = resolve_dtype(score_args.score_dtype)
     per_token = score_args.compute_per_token_scores
     post_process = task.enable_post_process_per_sample_gradient
     amp_dtype = score_args.amp_dtype
     remat = score_args.offload_activations_to_cpu
-    out_shardings = replicated(mesh) if mesh is not None else None
 
     def _chunk_score_psg(train_psg, pg):
         """Score slab against materialized train per-sample gradients."""
@@ -139,8 +140,7 @@ def _build_train_step(model, task, tracked, score_args, per_module, mesh=None):
             score = contrib if score is None else score + contrib
         return score
 
-    @partial(jax.jit, out_shardings=out_shardings)
-    def train_step(params, batch, valid, query_block):
+    def train_apply(params, batch, valid, query_block):
         params = cast_params(params, amp_dtype)
         forward = train_loss_forward(
             model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)
@@ -173,7 +173,13 @@ def _build_train_step(model, task, tracked, score_args, per_module, mesh=None):
             total = score if total is None else total + score
         return {ALL_MODULE_NAME: total}
 
-    return train_step
+    return train_apply
+
+
+def _build_train_step(model, task, tracked, score_args, per_module, mesh=None):
+    train_apply = _make_train_apply(model, task, tracked, score_args, per_module)
+    out_shardings = replicated(mesh) if mesh is not None else None
+    return partial(jax.jit, out_shardings=out_shardings)(train_apply)
 
 
 def _build_summed_gradient_step(
@@ -318,27 +324,74 @@ def compute_pairwise_scores_with_loaders(
                 per_module, query_block,
             )
     else:
-        train_step = cached_step(
-            model,
-            ("pairwise_train", model.task_key(task), tkey, args_key, per_module, mesh),
-            lambda: _build_train_step(model, task, tracked, score_args, per_module, mesh),
+        from kronfluence_tpu.utils.scan_loop import (
+            run_scanned_map,
+            scan_plan,
+            scanned_map_superstep,
         )
 
-        def train_pass(query_block):
-            # Score chunks stay on device across the whole train pass so the
-            # dispatch loop pipelines; one bulk fetch at the end (per-batch
-            # np.asarray would serialize on the host link round-trip).
-            module_chunks: Dict[str, List[Any]] = {}
-            for batch, valid_dev in device_prefetch(train_loader, mesh):
-                scores = train_step(params, batch, valid_dev, query_block)
-                for key, val in scores.items():
-                    module_chunks.setdefault(key, []).append(val)
-            with profiler.profile("Pairwise: score fetch"):
-                module_chunks = fetch_tree(module_chunks)
-            return {
-                key: np.concatenate(chunks, axis=1)[:, : train_loader.num_examples]
-                for key, chunks in module_chunks.items()
-            }
+        train_plan = scan_plan(train_loader, mesh)
+        if train_plan is not None:
+            # Device-resident train data, no mesh: the whole train pass runs
+            # in fixed-length scan chunks — one dispatch per chunk instead of
+            # ~3 per batch (see utils/scan_loop.py). Slabs come back stacked
+            # (chunk, q, b); trailing dummy-batch columns are trimmed here.
+            def _build_scan_step():
+                apply = _make_train_apply(model, task, tracked, score_args, per_module)
+                return scanned_map_superstep(
+                    lambda batch, valid, p, qb: apply(p, batch, valid, qb),
+                    train_plan.batch_size,
+                )
+
+            superstep = cached_step(
+                model,
+                (
+                    "pairwise_train", model.task_key(task), tkey, args_key,
+                    per_module, mesh, "scan", train_plan.batch_size,
+                ),
+                _build_scan_step,
+            )
+
+            def train_pass(query_block):
+                chunk_outs = run_scanned_map(
+                    train_plan,
+                    lambda cols, starts, nv: superstep(
+                        cols, starts, nv, params, query_block
+                    ),
+                )
+                with profiler.profile("Pairwise: score fetch"):
+                    chunk_outs = fetch_tree(chunk_outs)
+                out = {}
+                for key in chunk_outs[0]:
+                    stacked = np.concatenate([c[key] for c in chunk_outs], axis=0)
+                    q = stacked.shape[1]
+                    flat = np.moveaxis(stacked, 0, 1).reshape(
+                        (q, -1) + stacked.shape[3:]
+                    )
+                    out[key] = flat[:, : train_loader.num_examples]
+                return out
+        else:
+            train_step = cached_step(
+                model,
+                ("pairwise_train", model.task_key(task), tkey, args_key, per_module, mesh),
+                lambda: _build_train_step(model, task, tracked, score_args, per_module, mesh),
+            )
+
+            def train_pass(query_block):
+                # Score chunks stay on device across the whole train pass so
+                # the dispatch loop pipelines; one bulk fetch at the end
+                # (per-batch np.asarray would serialize on the host link).
+                module_chunks: Dict[str, List[Any]] = {}
+                for batch, valid_dev in device_prefetch(train_loader, mesh):
+                    scores = train_step(params, batch, valid_dev, query_block)
+                    for key, val in scores.items():
+                        module_chunks.setdefault(key, []).append(val)
+                with profiler.profile("Pairwise: score fetch"):
+                    module_chunks = fetch_tree(module_chunks)
+                return {
+                    key: np.concatenate(chunks, axis=1)[:, : train_loader.num_examples]
+                    for key, chunks in module_chunks.items()
+                }
 
     # Assemble scores on the host. Query-gradient preparation and the train
     # pass are timed separately (reference's Profiler granularity,

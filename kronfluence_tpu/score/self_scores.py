@@ -73,11 +73,11 @@ def compute_self_scores_with_loaders(
     remat = score_args.offload_activations_to_cpu
     out_shardings = replicated(mesh) if mesh is not None else None
 
-    def build_step():
-        from functools import partial
+    def make_apply():
+        """Pure per-batch scoring body shared by the jitted step and the
+        scanned loop."""
 
-        @partial(jax.jit, out_shardings=out_shardings)
-        def step(params, batch, valid, precondition_states):
+        def apply(params, batch, valid, precondition_states):
             params = cast_params(params, amp_dtype)
             loss_forward = train_loss_forward(
                 model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)
@@ -111,16 +111,54 @@ def compute_self_scores_with_loaders(
                 total = score if total is None else total + score
             return {ALL_MODULE_NAME: total}
 
-        return step
+        return apply
+
+    from functools import partial
+
+    from kronfluence_tpu.utils.scan_loop import (
+        run_scanned_map,
+        scan_plan,
+        scanned_map_superstep,
+    )
+
+    sig = (
+        "self", model.task_key(task), tkey, tuple(sorted(score_args.to_str_dict().items())),
+        factor_args.strategy, per_module, use_measurement, str(amp_dtype), remat,
+        mesh,
+    )
+    plan = scan_plan(train_loader, mesh)
+    if plan is not None:
+        # Device-resident train data, no mesh: one dispatch per scan chunk
+        # instead of ~3 per batch (see utils/scan_loop.py) — decisive for
+        # small/conv models whose steps are faster than the dispatch latency.
+        def _build_scan_step():
+            apply = make_apply()
+            return scanned_map_superstep(
+                lambda batch, valid, p, ps: apply(p, batch, valid, ps),
+                plan.batch_size,
+            )
+
+        superstep = cached_step(model, sig + ("scan", plan.batch_size), _build_scan_step)
+        with profiler.profile("Self-influence: train pass"):
+            chunk_outs = run_scanned_map(
+                plan,
+                lambda cols, starts, nv: superstep(
+                    cols, starts, nv, params, precondition_states
+                ),
+            )
+        with profiler.profile("Self-influence: score fetch"):
+            chunk_outs = fetch_tree(chunk_outs)
+        return {
+            key: np.concatenate([c[key] for c in chunk_outs], axis=0).reshape(
+                (-1,) + chunk_outs[0][key].shape[2:]
+            )[: train_loader.num_examples]
+            for key in chunk_outs[0]
+        }
 
     step = cached_step(
         model,
-        (
-            "self", model.task_key(task), tkey, tuple(sorted(score_args.to_str_dict().items())),
-            factor_args.strategy, per_module, use_measurement, str(amp_dtype), remat,
-            mesh,
-        ),
-        build_step,
+        sig,
+        lambda: partial(jax.jit, out_shardings=out_shardings)(make_apply()),
     )
 
     # Device-resident chunks + one bulk fetch: keeps the dispatch loop
