@@ -23,13 +23,13 @@ from kronfluence_tpu import Analyzer, FactorArguments, ScoreArguments, prepare_m
 from kronfluence_tpu.evaluate import evaluate_lds, sample_subset_masks
 
 from examples.common import train_model
-from examples.glue.analyze import TextClassificationTask, synthetic_sst2
+from examples.glue.pipeline import TextClassificationTask, synthetic_sst2
 
 
 def _build_module():
     from kronfluence_tpu.models.transformer import TransformerConfig
 
-    from examples.glue.analyze import EncoderClassifier
+    from examples.glue.pipeline import EncoderClassifier
 
     config = TransformerConfig(
         vocab_size=4096, max_seq_len=64, num_layers=2, num_heads=4, d_model=128

@@ -83,6 +83,33 @@ EXAMPLES = {
         "--vocab", "64", "--prompt_len", "8", "--gen_len", "4",
         "--num_train", "16", "--per_device_batch_size", "8",
     ],
+    "examples.cifar.train": [
+        "--num_train", "48", "--epochs", "1", "--batch_size", "16",
+        "--checkpoint_dir", "PLACEHOLDER_TMP",
+    ],
+    "examples.cifar.half_precision_analysis": [
+        "--num_train", "32", "--batch_size", "16", "--epochs", "1",
+    ],
+    "examples.cifar.inspect_factors": ["--factors_name", "ekfac"],
+    "examples.glue.train": [
+        "--num_train", "24", "--epochs", "1", "--batch_size", "8",
+        "--checkpoint_dir", "PLACEHOLDER_TMP",
+    ],
+    "examples.glue.half_precision_analysis": [
+        "--num_train", "24", "--num_query", "4", "--batch_size", "8",
+    ],
+    "examples.glue.run_counterfactual": [
+        "--num_train", "24", "--num_query", "4", "--remove", "4",
+        "--epochs", "1", "--batch_size", "8", "--seeds", "1",
+    ],
+    "examples.swag.train": [
+        "--num_train", "16", "--epochs", "1", "--batch_size", "4",
+        "--checkpoint_dir", "PLACEHOLDER_TMP",
+    ],
+    "examples.swag.influence_analysis": [
+        "--num_train", "16", "--num_query", "4", "--batch_size", "4",
+        "--query_gradient_low_rank", "4", "--top_k", "2",
+    ],
 }
 
 
@@ -97,6 +124,10 @@ PREREQUISITES = {
             "--per_device_batch_size", "4", "--module_partitions", "1",
             "--data_partitions", "1",
         ],
+    ),
+    "examples.cifar.inspect_factors": (
+        "examples.cifar.detect_mislabeled_dataset",
+        ["--num_train", "48", "--batch_size", "16", "--epochs", "1"],
     ),
 }
 
