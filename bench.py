@@ -199,17 +199,23 @@ def main():
     stages = {}
 
     # ---- Stage 1: covariance ----
+    # Warmups run on an INDEX-SLICE of the same device column store as the
+    # measured run: the scanned stage loops (utils/scan_loop.py) compile one
+    # program per column-store shape, so warming on a separate small dataset
+    # would compile a different executable and the measured run would pay a
+    # second compile/cache-load mid-"steady"-timing.
+    cov_data = make_data(N_COV, 1)
     t0 = time.time()
     force(
         fit_covariance_matrices_with_loader(
-            model, params, task, BatchLoader(make_data(2 * COV_BATCH, 11), COV_BATCH),
+            model, params, task,
+            BatchLoader(cov_data, COV_BATCH, indices=np.arange(2 * COV_BATCH)),
             factor_args,
         )
     )
     warmups = {}
     warmups["cov"] = time.time() - t0
     log(f"covariance warmup (compile): {warmups['cov']:.1f}s")
-    cov_data = make_data(N_COV, 1)
     t0 = time.time()
     cov = fit_covariance_matrices_with_loader(
         model, params, task, BatchLoader(cov_data, COV_BATCH), factor_args
@@ -232,17 +238,17 @@ def main():
     log(f"eigendecomposition steady: {stages['eigh']:.1f}s")
 
     # ---- Stage 3: lambda ----
+    lam_data = make_data(N_LAMBDA, 3)
     t0 = time.time()
     force(
         fit_lambda_matrices_with_loader(
             model, params, task,
-            BatchLoader(make_data(2 * LAMBDA_BATCH, 12), LAMBDA_BATCH),
+            BatchLoader(lam_data, LAMBDA_BATCH, indices=np.arange(2 * LAMBDA_BATCH)),
             factor_args, eigen_factors=eigen,
         )
     )
     warmups["lambda"] = time.time() - t0
     log(f"lambda warmup (compile): {warmups['lambda']:.1f}s")
-    lam_data = make_data(N_LAMBDA, 3)
     t0 = time.time()
     lam = fit_lambda_matrices_with_loader(
         model, params, task, BatchLoader(lam_data, LAMBDA_BATCH), factor_args,
@@ -277,19 +283,19 @@ def main():
 
     # ---- Stage 4: pairwise scores ----
     query_data = make_data(N_QUERY, 5)
+    train_data = make_data(N_TRAIN, 6)
     # Warmup compiles the query/train/accumulate steps with ONE query block
-    # over a tiny train set; the measured run below does the real workload.
-    warm_query = {k: v[: QUERY_BATCH * QUERY_ACC] for k, v in query_data.items()}
+    # over index-slices of the real stores (see the covariance warmup note).
     t0 = time.time()
     compute_pairwise_scores_with_loaders(
         model, params, task,
-        BatchLoader(warm_query, QUERY_BATCH),
-        BatchLoader(make_data(2 * TRAIN_BATCH, 13), TRAIN_BATCH),
+        BatchLoader(query_data, QUERY_BATCH,
+                    indices=np.arange(QUERY_BATCH * QUERY_ACC)),
+        BatchLoader(train_data, TRAIN_BATCH, indices=np.arange(2 * TRAIN_BATCH)),
         factors, factor_args, score_args,
     )
     warmups["score"] = time.time() - t0
     log(f"pairwise warmup (compile): {warmups['score']:.1f}s")
-    train_data = make_data(N_TRAIN, 6)
     t0 = time.time()
     compute_pairwise_scores_with_loaders(
         model, params, task,
