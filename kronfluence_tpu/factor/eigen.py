@@ -56,6 +56,44 @@ def _normalize_stacked(stacked: jax.Array, counts: jax.Array) -> jax.Array:
     return 0.5 * (mats + mats.transpose(0, 2, 1))
 
 
+@partial(jax.jit, static_argnames=("target",))
+def _normalize_pad_stacked(stacked: jax.Array, counts: jax.Array, target: int) -> jax.Array:
+    """Normalize + symmetrize, then embed each (n, n) matrix in a (target,
+    target) one whose padded diagonal sorts ABOVE the true spectrum (Gershgorin
+    bound), so the appended eigenpairs land last in ascending order and are
+    sliced off exactly. Lets nearly-equal dims (768 vs 769 = bias column,
+    3072 vs 3073) share one batched eigh program — the QDWH executable is
+    minutes of compile per distinct shape."""
+    mats = _normalize_stacked(stacked, counts)
+    x, n, _ = mats.shape
+    if n == target:
+        return mats
+    bound = jnp.max(jnp.sum(jnp.abs(mats), axis=2), axis=1)
+    big = jnp.zeros((x, target, target), mats.dtype)
+    big = big.at[:, :n, :n].set(mats)
+    d = jnp.arange(n, target)
+    return big.at[:, d, d].set((4.0 * bound + 1.0)[:, None])
+
+
+def _merge_dim_groups(groups: Dict[int, list]) -> Dict[int, list]:
+    """Clusters same-shape factor groups whose dims differ by a tiny pad.
+
+    Returns {target_dim: [(module_name, orig_dim), ...]}. Dims within
+    max(8, dim // 256) of the next-larger dim are padded up to it (the
+    bias-column off-by-one and similar near-misses); distant dims stay apart.
+    """
+    merged: Dict[int, list] = {}
+    dims = sorted(groups, reverse=True)
+    for dim in dims:
+        target = dim
+        for t in merged:
+            if t >= dim and (t - dim) <= max(8, dim // 256):
+                target = t
+                break
+        merged.setdefault(target, []).extend((n, dim) for n in groups[dim])
+    return merged
+
+
 _FACTOR_PAIRS = (
     (
         ACTIVATION_COVARIANCE_MATRIX_NAME,
@@ -100,22 +138,43 @@ def _device_eigendecomposition(covariance_factors, eigen_factors, solver="auto")
         groups: Dict[int, list] = {}
         for module_name, mat in covariance_factors[cov_name].items():
             groups.setdefault(mat.shape[0], []).append(module_name)
-        for dim, names in groups.items():
-            stacked = jnp.stack(
-                [jnp.asarray(covariance_factors[cov_name][n]) for n in names]
-            )
-            counts = jnp.stack(
-                [
-                    jnp.asarray(covariance_factors[count_name][n]).reshape(()).astype(jnp.float32)
-                    for n in names
-                ]
-            )
-            normalized = _normalize_stacked(stacked, counts)
+        for target, entries in _merge_dim_groups(groups).items():
+            parts = []
+            # Sub-stack per original dim (one static-shape pad program each),
+            # then concatenate into the shared (x, target, target) batch.
+            by_dim: Dict[int, list] = {}
+            for module_name, dim in entries:
+                by_dim.setdefault(dim, []).append(module_name)
+            order = [(n, d) for d in sorted(by_dim, reverse=True) for n in by_dim[d]]
+            for dim in sorted(by_dim, reverse=True):
+                names = by_dim[dim]
+                stacked = jnp.stack(
+                    [jnp.asarray(covariance_factors[cov_name][n]) for n in names]
+                )
+                counts = jnp.stack(
+                    [
+                        jnp.asarray(covariance_factors[count_name][n])
+                        .reshape(())
+                        .astype(jnp.float32)
+                        for n in names
+                    ]
+                )
+                parts.append(_normalize_pad_stacked(stacked, counts, target))
+            normalized = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
             evals, evecs = solve(normalized)
-            out_dtype = stacked.dtype
-            for i, module_name in enumerate(names):
-                eigen_factors[eval_name][module_name] = evals[i].astype(out_dtype)
-                eigen_factors[evec_name][module_name] = evecs[i].astype(out_dtype)
+            out_dtype = jnp.asarray(
+                covariance_factors[cov_name][order[0][0]]
+            ).dtype
+            for i, (module_name, dim) in enumerate(order):
+                ev, vec = evals[i], evecs[i]
+                if dim != target:
+                    # True eigenpairs sort first (ascending); their vectors'
+                    # padded-row components are ~eps. Slice and renormalize.
+                    ev = ev[:dim]
+                    vec = vec[:dim, :dim]
+                    vec = vec / jnp.linalg.norm(vec, axis=0, keepdims=True)
+                eigen_factors[eval_name][module_name] = ev.astype(out_dtype)
+                eigen_factors[evec_name][module_name] = vec.astype(out_dtype)
 
 
 def _host_eigendecomposition(covariance_factors, eigen_factors, dtype_name) -> None:

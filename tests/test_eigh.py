@@ -76,6 +76,71 @@ def test_solver_argument_validation():
         FactorArguments(eigendecomposition_solver="magic")
 
 
+def test_merged_dim_groups_match_lapack():
+    """Near-miss dims (64 vs 65 = bias column analogue) share one padded
+    batched eigh call; results must match per-dim LAPACK ground truth."""
+    from kronfluence_tpu.factor.eigen import (
+        _device_eigendecomposition,
+        _merge_dim_groups,
+    )
+    from kronfluence_tpu.utils.constants import (
+        ACTIVATION_COVARIANCE_MATRIX_NAME,
+        ACTIVATION_EIGENVALUES_NAME,
+        ACTIVATION_EIGENVECTORS_NAME,
+        GRADIENT_COVARIANCE_MATRIX_NAME,
+        GRADIENT_EIGENVALUES_NAME,
+        GRADIENT_EIGENVECTORS_NAME,
+        NUM_ACTIVATION_COVARIANCE_PROCESSED,
+        NUM_GRADIENT_COVARIANCE_PROCESSED,
+    )
+
+    merged = _merge_dim_groups({769: ["a"], 768: ["b"], 2304: ["c"]})
+    assert set(merged) == {769, 2304}
+    assert sorted(merged[769]) == [("a", 769), ("b", 768)]
+
+    dims = {"m64": 64, "m65": 65, "m64b": 64}
+    cov = {
+        ACTIVATION_COVARIANCE_MATRIX_NAME: {},
+        GRADIENT_COVARIANCE_MATRIX_NAME: {},
+        NUM_ACTIVATION_COVARIANCE_PROCESSED: {},
+        NUM_GRADIENT_COVARIANCE_PROCESSED: {},
+    }
+    truth = {}
+    for i, (name, n) in enumerate(dims.items()):
+        a = _psd_batch(1, n, seed=10 + i, ill_conditioned_first=False)[0]
+        count = 3.0 + i
+        cov[ACTIVATION_COVARIANCE_MATRIX_NAME][name] = jnp.asarray(a * count)
+        cov[GRADIENT_COVARIANCE_MATRIX_NAME][name] = jnp.asarray(a * count)
+        cov[NUM_ACTIVATION_COVARIANCE_PROCESSED][name] = jnp.asarray([count])
+        cov[NUM_GRADIENT_COVARIANCE_PROCESSED][name] = jnp.asarray([count])
+        truth[name] = np.linalg.eigh(a.astype(np.float64))
+    eigen = {
+        key: {}
+        for key in (
+            ACTIVATION_EIGENVECTORS_NAME,
+            ACTIVATION_EIGENVALUES_NAME,
+            GRADIENT_EIGENVECTORS_NAME,
+            GRADIENT_EIGENVALUES_NAME,
+        )
+    }
+    _device_eigendecomposition(cov, eigen)
+    for name, n in dims.items():
+        ref_w, ref_v = truth[name]
+        w = np.asarray(eigen[ACTIVATION_EIGENVALUES_NAME][name], np.float64)
+        v = np.asarray(eigen[ACTIVATION_EIGENVECTORS_NAME][name], np.float64)
+        assert w.shape == (n,) and v.shape == (n, n)
+        scale = np.abs(ref_w).max()
+        assert np.abs(w - ref_w).max() / scale < 5e-5
+        a = np.asarray(
+            cov[ACTIVATION_COVARIANCE_MATRIX_NAME][name], np.float64
+        ) / float(
+            np.asarray(cov[NUM_ACTIVATION_COVARIANCE_PROCESSED][name])[0]
+        )
+        recon = (v * w) @ v.T
+        assert np.abs(recon - a).max() / scale < 5e-5
+        assert np.abs(v.T @ v - np.eye(n)).max() < 5e-5
+
+
 def test_batch_chunking_consistency():
     # Force the internal batch-chunking path with a tiny budget via many mats.
     n = 80
