@@ -53,6 +53,24 @@ def train_model(
     return params
 
 
+def load_params_checkpoint(path, template_params: Any) -> Any:
+    """Loads a flat safetensors checkpoint (saved by the train.py scripts via
+    `_flatten_params` + `save_file`) back into the model's nested param tree."""
+    from kronfluence_tpu.utils.save import load_file
+
+    flat = load_file(path)
+
+    def rebuild(tree, prefix):
+        if isinstance(tree, dict):
+            return {
+                key: rebuild(value, f"{prefix}/{key}" if prefix else str(key))
+                for key, value in tree.items()
+            }
+        return jnp.asarray(flat[prefix])
+
+    return rebuild(template_params, "")
+
+
 def print_top_influences(scores: np.ndarray, k: int = 5) -> None:
     """Prints the most positively/negatively influential train indices per query."""
     for q in range(min(3, scores.shape[0])):

@@ -16,39 +16,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-import optax
 
+from examples.imagenet.pipeline import ClassificationTask, synthetic_imagenet
 from kronfluence_tpu import Analyzer, FactorArguments, ScoreArguments, prepare_model
 from kronfluence_tpu.models.resnet import ResNet9, resnet50
 from kronfluence_tpu.parallel.mesh import make_mesh
-from kronfluence_tpu.task import Task
-
-
-class ClassificationTask(Task):
-    def compute_train_loss(self, batch, model, sample=False, rng=None):
-        logits = model(batch["x"])
-        if sample:
-            labels = jax.random.categorical(rng, jax.lax.stop_gradient(logits))
-        else:
-            labels = batch["y"]
-        return jnp.sum(optax.softmax_cross_entropy_with_integer_labels(logits, labels))
-
-    def compute_measurement(self, batch, model):
-        logits = model(batch["x"])
-        labels = batch["y"]
-        bindex = jnp.arange(logits.shape[0])
-        correct = logits[bindex, labels]
-        cloned = logits.at[bindex, labels].set(-jnp.inf)
-        return -jnp.sum(correct - jax.nn.logsumexp(cloned, axis=-1))
-
-
-def synthetic_imagenet(num, size, classes=1000, seed=0):
-    rng = np.random.default_rng(seed)
-    return {
-        "x": rng.normal(size=(num, size, size, 3)).astype(np.float32),
-        "y": rng.integers(0, classes, size=num),
-    }
 
 
 def main():

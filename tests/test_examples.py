@@ -106,9 +106,25 @@ EXAMPLES = {
         "--num_train", "16", "--epochs", "1", "--batch_size", "4",
         "--checkpoint_dir", "PLACEHOLDER_TMP",
     ],
+    "examples.swag.evaluate_lds": [
+        "--num_train", "16", "--num_query", "4", "--batch_size", "4",
+        "--num_subsets", "4", "--epochs", "1",
+    ],
     "examples.swag.influence_analysis": [
         "--num_train", "16", "--num_query", "4", "--batch_size", "4",
         "--query_gradient_low_rank", "4", "--top_k", "2",
+    ],
+    "examples.imagenet.query_batching_analysis": [
+        "--arch", "resnet9", "--num_train", "16", "--num_query", "4",
+        "--per_device_batch_size", "4", "--image_size", "32",
+        "--num_classes", "10", "--query_gradient_low_rank", "4",
+    ],
+    "examples.dailymail.train": [
+        "--num_train", "16", "--epochs", "1", "--batch_size", "4",
+        "--checkpoint_dir", "PLACEHOLDER_TMP",
+    ],
+    "examples.dailymail.inspect_examples": [
+        "--num_train", "16", "--num_query", "4", "--eval_idx", "1",
     ],
 }
 
@@ -128,6 +144,10 @@ PREREQUISITES = {
     "examples.cifar.inspect_factors": (
         "examples.cifar.detect_mislabeled_dataset",
         ["--num_train", "48", "--batch_size", "16", "--epochs", "1"],
+    ),
+    "examples.dailymail.inspect_examples": (
+        "examples.dailymail.analyze",
+        ["--num_train", "16", "--num_query", "4", "--batch_size", "4"],
     ),
 }
 
