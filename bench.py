@@ -69,6 +69,11 @@ QUERY_BATCH = _env("QUERY_BATCH", 8)
 QUERY_ACC = _env("QUERY_ACC", 7)  # accumulation steps -> block = BATCH * ACC
 TRAIN_BATCH = _env("TRAIN_BATCH", 16)
 N_QUERY = max(N_QUERY, QUERY_BATCH * QUERY_ACC)
+# KRON_BENCH_FIDELITY=1: after the timed bf16 run, score one query block in
+# BOTH the bf16 recipe and full fp32 and report Pearson/Spearman correlation
+# (the reference publishes 0.96 for this comparison,
+# examples/wikitext/README.md:97; round-1 VERDICT missing #5).
+FIDELITY = bool(_env("FIDELITY", 0))
 
 
 def log(msg):
@@ -279,6 +284,15 @@ def main():
     spec_names = sorted(discover_stage_specs(model, task, params, probe, model.tracked_names))
     force(warm_precondition_state_cache(
         model, factors, factor_args.strategy, score_args, spec_names))
+    fp32_score_args = None
+    if FIDELITY:
+        from kronfluence_tpu.arguments import ScoreArguments
+
+        fp32_score_args = ScoreArguments(
+            query_gradient_accumulation_steps=QUERY_ACC
+        )
+        force(warm_precondition_state_cache(
+            model, factors, factor_args.strategy, fp32_score_args, spec_names))
     factors.clear()
 
     # ---- Stage 4: pairwise scores ----
@@ -305,6 +319,47 @@ def main():
     stages["score"] = time.time() - t0
     pairs_rate = (N_QUERY * N_TRAIN) / stages["score"]
     log(f"pairwise steady: {pairs_rate:.0f} pairs/s")
+
+    # ---- Optional: bf16 <-> fp32 score fidelity at bench scale ----
+    fidelity = {}
+    if FIDELITY:
+        block = QUERY_BATCH * QUERY_ACC
+        q_loader = BatchLoader(query_data, QUERY_BATCH, indices=np.arange(block))
+        t_loader = BatchLoader(train_data, TRAIN_BATCH)
+        s_bf16 = np.asarray(
+            compute_pairwise_scores_with_loaders(
+                model, params, task, q_loader, t_loader,
+                factors, factor_args, score_args,
+            )["all_modules"],
+            np.float64,
+        )
+        log("fidelity: bf16 block done; scoring fp32 block")
+        s_fp32 = np.asarray(
+            compute_pairwise_scores_with_loaders(
+                model, params, task, q_loader, t_loader,
+                factors, factor_args, fp32_score_args,
+            )["all_modules"],
+            np.float64,
+        )
+        pear, spear = [], []
+        for q in range(block):
+            a, b = s_bf16[q], s_fp32[q]
+            pear.append(np.corrcoef(a, b)[0, 1])
+            ra = np.argsort(np.argsort(a)).astype(np.float64)
+            rb = np.argsort(np.argsort(b)).astype(np.float64)
+            spear.append(np.corrcoef(ra, rb)[0, 1])
+        fidelity = {
+            "pearson_bf16_fp32": round(float(np.mean(pear)), 4),
+            "spearman_bf16_fp32": round(float(np.mean(spear)), 4),
+            "queries": block,
+            "train": N_TRAIN,
+        }
+        log(
+            f"bf16<->fp32 score correlation ({block} queries x {N_TRAIN} train): "
+            f"pearson {fidelity['pearson_bf16_fp32']:.4f}, "
+            f"spearman {fidelity['spearman_bf16_fp32']:.4f} "
+            f"(reference publishes 0.96)"
+        )
 
     # ---- Totals vs the full reference workload ----
     # Full mode (default): every stage RAN the reference-size workload above,
@@ -350,6 +405,7 @@ def main():
                 "e2e_vs_ref_fp32": round(REF_TOTAL_S / grand, 2),
                 "stages_s": {k: round(v, 1) for k, v in totals.items()},
                 "warmups_s": {k: round(v, 1) for k, v in warmups.items()},
+                **fidelity,
             }
         ),
         flush=True,

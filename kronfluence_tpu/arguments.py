@@ -68,11 +68,14 @@ class FactorArguments(Arguments):
     # Eigendecomposition configuration. float64 runs on the host (LAPACK);
     # float32 runs on-device.
     eigendecomposition_dtype: Any = "float64"
-    # On-device solver (TPU extension, no reference analogue): "auto"/"qdwh"
-    # uses XLA's built-in eigh (fastest steady state; one-time multi-minute
-    # compile per matrix shape, persisted in the compilation cache); "jacobi"
-    # uses the custom blocked-Jacobi solver (ops/eigh.py — compiles in
-    # seconds, ~3-4x slower per run). Ignored by the float64 host path.
+    # On-device solver (TPU extension, no reference analogue): "qdwh" uses
+    # XLA's built-in eigh (solves each matrix of a batch sequentially;
+    # one-time multi-minute compile per shape, persisted in the compilation
+    # cache); "dc" uses the host-driven batched spectral divide-and-conquer
+    # (ops/eigh_dc.py — Newton-Schulz sign iterations, batched over all
+    # same-shape factor matrices, compiles in seconds); "jacobi" uses the
+    # blocked-Jacobi solver (ops/eigh.py). "auto" currently resolves to
+    # "qdwh". Ignored by the float64 host path.
     eigendecomposition_solver: str = "auto"
 
     # Lambda-matrix configuration.
@@ -87,9 +90,9 @@ class FactorArguments(Arguments):
     def __post_init__(self) -> None:
         if self.strategy not in ("identity", "diagonal", "kfac", "ekfac"):
             raise ValueError(f"Unknown strategy: {self.strategy!r}.")
-        if self.eigendecomposition_solver not in ("auto", "qdwh", "jacobi"):
+        if self.eigendecomposition_solver not in ("auto", "qdwh", "jacobi", "dc"):
             raise ValueError(
-                "`eigendecomposition_solver` must be 'auto', 'qdwh', or 'jacobi'."
+                "`eigendecomposition_solver` must be 'auto', 'qdwh', 'jacobi', or 'dc'."
             )
         for name in ("covariance_max_examples", "lambda_max_examples"):
             value = getattr(self, name)

@@ -126,7 +126,14 @@ def _device_eigendecomposition(covariance_factors, eigen_factors, solver="auto")
         eigh_stock_batched,
     )
 
-    base_solve = eigh_batched if solver == "jacobi" else eigh_stock_batched
+    if solver == "jacobi":
+        base_solve = eigh_batched
+    elif solver == "dc":
+        from kronfluence_tpu.ops.eigh_dc import eigh_spectral_dc
+
+        base_solve = eigh_spectral_dc
+    else:  # "auto" / "qdwh"
+        base_solve = eigh_stock_batched
 
     def solve(normalized):
         # Llama-scale dims: one matrix at a time + host-fp64 OOM fallback.

@@ -160,7 +160,7 @@ def _block_index_tables(n: int, two_b: int):
 
 @partial(
     jax.jit,
-    static_argnames=("block_size", "inner_sweeps", "max_sweeps", "use_pallas"),
+    static_argnames=("block_size", "inner_sweeps", "max_sweeps", "use_pallas", "fast_sweeps"),
 )
 def _blocked_jacobi_eigh(
     A: jax.Array,
@@ -169,8 +169,18 @@ def _blocked_jacobi_eigh(
     max_sweeps: int,
     tol: float,
     use_pallas: bool = False,
+    fast_sweeps: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Core solver: A (X, n, n) fp32 symmetric, n a multiple of 2*block_size."""
+    """Core solver: A (X, n, n) fp32 symmetric, n a multiple of 2*block_size.
+
+    With `fast_sweeps`, the bulk of the off-diagonal mass is annihilated in a
+    first convergence loop whose rotation applications run at
+    `Precision.HIGH` (bf16_3x on the MXU — 2x the fp32 matmul rate); a second
+    loop at `Precision.HIGHEST` then drives the off-norm to the fp32 floor.
+    Block Jacobi tolerates inexact updates (each round re-reads the current
+    matrix), so the coarse phase only needs to be roughly right; the final
+    Newton-Schulz polish + Rayleigh quotient below restore eigenvector
+    orthogonality and eigenvalue accuracy against the ORIGINAL matrix."""
     x, n, _ = A.shape
     two_b = 2 * block_size
     np_pairs = n // two_b  # pairs per round
@@ -181,35 +191,38 @@ def _blocked_jacobi_eigh(
     W = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), (x, n, n))
     pair_idx = jnp.arange(np_pairs)
 
-    def one_round(r, carry):
-        # Carries (A, W) in the PREVIOUS round's permuted layout; delta maps
-        # straight into this round's layout (composed permutation: 3 gathers
-        # per round instead of 6 undo+redo gathers).
-        A, W = carry
-        delta = delta_tab[r]
-        Ap = jnp.take(jnp.take(A, delta, axis=1), delta, axis=2)
-        Wp = jnp.take(W, delta, axis=2)
-        # Extract diagonal 2b x 2b pivot blocks.
-        S = Ap.reshape(x, np_pairs, two_b, np_pairs, two_b)
-        S = S[:, pair_idx, :, pair_idx, :]  # (np_pairs, x, 2b, 2b)
-        S = S.transpose(1, 0, 2, 3).reshape(x * np_pairs, two_b, two_b)
-        if use_pallas:
-            from kronfluence_tpu.ops.pallas.jacobi import jacobi_pivot_rotations
+    def make_one_round(prec):
+        def one_round(r, carry):
+            # Carries (A, W) in the PREVIOUS round's permuted layout; delta
+            # maps straight into this round's layout (composed permutation: 3
+            # gathers per round instead of 6 undo+redo gathers).
+            A, W = carry
+            delta = delta_tab[r]
+            Ap = jnp.take(jnp.take(A, delta, axis=1), delta, axis=2)
+            Wp = jnp.take(W, delta, axis=2)
+            # Extract diagonal 2b x 2b pivot blocks.
+            S = Ap.reshape(x, np_pairs, two_b, np_pairs, two_b)
+            S = S[:, pair_idx, :, pair_idx, :]  # (np_pairs, x, 2b, 2b)
+            S = S.transpose(1, 0, 2, 3).reshape(x * np_pairs, two_b, two_b)
+            if use_pallas:
+                from kronfluence_tpu.ops.pallas.jacobi import jacobi_pivot_rotations
 
-            V = jacobi_pivot_rotations(S, inner_sweeps, eps=eps, interpret=False)
-        else:
-            V = _scalar_jacobi(S, inner_sweeps, eps)
-        V = V.reshape(x, np_pairs, two_b, two_b)
-        # Rows: V^T @ A-rows  (batched MXU matmul).
-        rows = Ap.reshape(x, np_pairs, two_b, n)
-        rows = jnp.einsum("xkij,xkin->xkjn", V, rows, precision=hi)
-        # Cols: (.) @ V.
-        cols = rows.reshape(x, n, n).reshape(x, n, np_pairs, two_b)
-        cols = jnp.einsum("xnki,xkij->xnkj", cols, V, precision=hi)
-        Wp = jnp.einsum(
-            "xnki,xkij->xnkj", Wp.reshape(x, n, np_pairs, two_b), V, precision=hi
-        )
-        return cols.reshape(x, n, n), Wp.reshape(x, n, n)
+                V = jacobi_pivot_rotations(S, inner_sweeps, eps=eps, interpret=False)
+            else:
+                V = _scalar_jacobi(S, inner_sweeps, eps)
+            V = V.reshape(x, np_pairs, two_b, two_b)
+            # Rows: V^T @ A-rows  (batched MXU matmul).
+            rows = Ap.reshape(x, np_pairs, two_b, n)
+            rows = jnp.einsum("xkij,xkin->xkjn", V, rows, precision=prec)
+            # Cols: (.) @ V.
+            cols = rows.reshape(x, n, n).reshape(x, n, np_pairs, two_b)
+            cols = jnp.einsum("xnki,xkij->xnkj", cols, V, precision=prec)
+            Wp = jnp.einsum(
+                "xnki,xkij->xnkj", Wp.reshape(x, n, np_pairs, two_b), V, precision=prec
+            )
+            return cols.reshape(x, n, n), Wp.reshape(x, n, n)
+
+        return one_round
 
     off_mask = 1.0 - jnp.eye(n, dtype=A.dtype)
 
@@ -224,22 +237,37 @@ def _blocked_jacobi_eigh(
     tol = jnp.maximum(tol, 8.0 * eps * math.sqrt(n))
     A0 = A
 
-    def cond(state):
-        A, _, sweep = state
-        not_done = jnp.any(off_norm_sq(A) > (tol * tol) * total_sq)
-        return jnp.logical_and(sweep < max_sweeps, not_done)
+    def make_loop(prec, loop_tol, budget):
+        one_round = make_one_round(prec)
 
-    def sweep_body(state):
-        A, W, sweep = state
-        A, W = jax.lax.fori_loop(0, rounds, one_round, (A, W))
-        # Restore canonical layout (delta[0] expects it at the next sweep).
-        A = jnp.take(jnp.take(A, restore, axis=1), restore, axis=2)
-        W = jnp.take(W, restore, axis=2)
-        # Re-symmetrize to curb numerical drift.
-        A = 0.5 * (A + A.transpose(0, 2, 1))
-        return A, W, sweep + 1
+        def cond(state):
+            A, _, sweep = state
+            not_done = jnp.any(off_norm_sq(A) > (loop_tol * loop_tol) * total_sq)
+            return jnp.logical_and(sweep < budget, not_done)
 
-    A, W, _ = jax.lax.while_loop(cond, sweep_body, (A, W, jnp.zeros((), jnp.int32)))
+        def sweep_body(state):
+            A, W, sweep = state
+            A, W = jax.lax.fori_loop(0, rounds, one_round, (A, W))
+            # Restore canonical layout (delta[0] expects it at the next sweep).
+            A = jnp.take(jnp.take(A, restore, axis=1), restore, axis=2)
+            W = jnp.take(W, restore, axis=2)
+            # Re-symmetrize to curb numerical drift.
+            A = 0.5 * (A + A.transpose(0, 2, 1))
+            return A, W, sweep + 1
+
+        return cond, sweep_body
+
+    sweep0 = jnp.zeros((), jnp.int32)
+    if fast_sweeps:
+        # Coarse phase: bf16_3x rotations until the off-norm is ~1e-3
+        # relative (or 3/4 of the budget is spent).
+        coarse_tol = jnp.maximum(jnp.asarray(1e-3, A.dtype), tol)
+        cond_c, body_c = make_loop(
+            jax.lax.Precision.HIGH, coarse_tol, max(1, (3 * max_sweeps) // 4)
+        )
+        A, W, sweep0 = jax.lax.while_loop(cond_c, body_c, (A, W, sweep0))
+    cond_f, body_f = make_loop(hi, tol, max_sweeps)
+    A, W, _ = jax.lax.while_loop(cond_f, body_f, (A, W, sweep0))
 
     # Polish: one Newton-Schulz step restores the orthogonality lost to
     # rotation-accumulation round-off (quadratic: 5e-4 -> ~1e-7), then a

@@ -72,6 +72,7 @@ def test_solver_argument_validation():
 
     FactorArguments(eigendecomposition_solver="jacobi")
     FactorArguments(eigendecomposition_solver="qdwh")
+    FactorArguments(eigendecomposition_solver="dc")
     with _pytest.raises(ValueError):
         FactorArguments(eigendecomposition_solver="magic")
 
@@ -139,6 +140,67 @@ def test_merged_dim_groups_match_lapack():
         recon = (v * w) @ v.T
         assert np.abs(recon - a).max() / scale < 5e-5
         assert np.abs(v.T @ v - np.eye(n)).max() < 5e-5
+
+
+def test_spectral_dc_matches_lapack():
+    """Host-driven spectral divide-and-conquer (ops/eigh_dc.py) vs LAPACK:
+    wide covariance-like spectrum, a tight cluster, and rank deficiency."""
+    from kronfluence_tpu.ops.eigh_dc import eigh_spectral_dc
+
+    rng = np.random.default_rng(0)
+    n = 600
+    cases = {}
+    g = rng.standard_normal((2, n + 64, n)).astype(np.float32)
+    s = np.exp(-np.linspace(0, 10, n + 64))[None, :, None].astype(np.float32)
+    cov = np.einsum("xkn,xkm->xnm", g * s, g * s) + 1e-7 * np.eye(n, dtype=np.float32)
+    cases["cov"] = cov
+    q = np.linalg.qr(rng.standard_normal((n, n)))[0].astype(np.float32)
+    w = np.concatenate([np.full(n // 2, 2.0), np.linspace(3.0, 9.0, n - n // 2)]).astype(
+        np.float32
+    )
+    cases["cluster"] = ((q * w) @ q.T)[None]
+    lr = rng.standard_normal((1, n, 64)).astype(np.float32)
+    cases["lowrank"] = lr @ lr.transpose(0, 2, 1) / 64
+
+    for name, a in cases.items():
+        a = 0.5 * (a + a.transpose(0, 2, 1))
+        evals, vecs = eigh_spectral_dc(jnp.asarray(a))
+        evals = np.asarray(evals, np.float64)
+        vecs = np.asarray(vecs, np.float64)
+        for i in range(a.shape[0]):
+            ref = np.linalg.eigh(a[i].astype(np.float64))[0]
+            scale = max(abs(ref).max(), 1e-20)
+            assert np.abs(evals[i] - ref).max() / scale < 2e-5, name
+            assert np.all(np.diff(evals[i]) >= -1e-5 * scale), name
+            orth = np.abs(vecs[i].T @ vecs[i] - np.eye(n)).max()
+            assert orth < 2e-5, name
+            recon = (vecs[i] * evals[i]) @ vecs[i].T
+            assert np.abs(recon - a[i]).max() / scale < 5e-4, name
+
+
+def test_spectral_dc_fallback_on_failed_split():
+    """Matrices whose splits never succeed must fall back per matrix."""
+    from kronfluence_tpu.ops import eigh_dc
+
+    n = 300
+    a = _psd_batch(2, n, seed=5, ill_conditioned_first=False)
+    calls = []
+
+    def fake_fallback(M):
+        calls.append(1)
+        import numpy as _np
+
+        w, v = _np.linalg.eigh(_np.asarray(M, _np.float64))
+        return jnp.asarray(w, jnp.float32), jnp.asarray(v, jnp.float32)
+
+    evals, vecs = eigh_dc.eigh_spectral_dc(
+        jnp.asarray(a), max_retries=0, _fallback=fake_fallback,
+        _force_fail=True,
+    )
+    assert len(calls) == 2
+    for i in range(2):
+        ref = np.linalg.eigh(a[i].astype(np.float64))[0]
+        assert np.abs(np.asarray(evals[i], np.float64) - ref).max() < 1e-4 * abs(ref).max()
 
 
 def test_batch_chunking_consistency():
