@@ -25,6 +25,11 @@ module restructures the same Nakatsukasa-Higham spectral divide-and-conquer
     merging).
   * Leaves are solved by the batched blocked-Jacobi solver (ops/eigh.py),
     which is fast to compile and accurate for small blocks.
+  * Every device call in the recursion is BATCHED over a whole bucket (child
+    extraction gathers all siblings in one program; solved leaves scatter into
+    the output buffers in one donated update per group): on a tunneled TPU
+    each dispatch costs ~5-10 ms, so the driver keeps the total op count per
+    solve in the tens, not the thousands.
 
 Per-problem robustness fallbacks (split retries at different quantiles,
 rejection of non-converged sign iterations) are plain host Python - one more
@@ -42,6 +47,7 @@ import jax.numpy as jnp
 
 LEAF_SIZE = 256  # blocked-Jacobi leaf (2 x block_size 128); compile-cheap
 _BUCKET_GRAN = 256  # child bucket sizes are multiples of this
+_BATCH_GRAN = 8  # device batch dims are padded to multiples of this
 _SIGN_L0 = 1e-6  # assumed lower bound on |lambda|/||B|| at the split point
 
 
@@ -219,14 +225,21 @@ def _split_bucket(H, m_true, quantile, mus, num_iters: int):
 
 
 @partial(jax.jit, static_argnames=("m_child", "minus"))
-def _extract_child(Hc, VQ, rank, m_true, m_child: int, minus: bool):
-    """Extracts the (minus|plus) diagonal block of a rotated matrix into a
-    `m_child`-padded child problem, and the matching isometry columns.
+def _extract_children(Hc, VQ, rank, m_true, sel, m_child: int, minus: bool):
+    """Extracts the (minus|plus) diagonal blocks of rotated matrices into
+    `m_child`-padded child problems, batched over a sibling selection.
 
-    Returns (H_child (k, m_child, m_child), V_child (k, n, m_child),
-    m_true_child (k,)).
+    Args:
+        Hc, VQ, rank, m_true: split outputs for the whole parent bucket
+            ((k, m, m), (k, n, m), (k,), (k,)).
+        sel: (j,) int32 parent-row indices (padded selections repeat a row).
+
+    Returns (H_child (j, m_child, m_child), V_child (j, n, m_child)).
     """
-    k, m, _ = Hc.shape
+    Hc = Hc[sel]
+    VQ = VQ[sel]
+    rank = rank[sel]
+    m_true = m_true[sel]
     if minus:
         start = jnp.zeros_like(rank)
         size = rank
@@ -248,12 +261,42 @@ def _extract_child(Hc, VQ, rank, m_true, m_child: int, minus: bool):
     Hr = jnp.where(mask2d, Hr, pad_val[:, None, None] * eye)
     Vr = jax.vmap(lambda A, s: jnp.roll(A, shift=-s, axis=1))(VQ, start)
     Vr = Vr[:, :, :m_child] * valid[:, None, :]
-    return Hr, Vr, size
+    return Hr, Vr
+
+
+@jax.jit
+def _gather_rows(H, V, sel):
+    """Row gather for split retries (padded selections repeat a row)."""
+    return H[sel], V[sel]
 
 
 @jax.jit
 def _compose_v(V, Q):
     return jnp.matmul(V, Q, precision=jax.lax.Precision.HIGHEST)
+
+
+@partial(jax.jit, donate_argnames=("evals_buf", "vecs_buf"))
+def _scatter_pieces(evals_buf, vecs_buf, ev, V, matrix, offset, m_eff):
+    """Scatters a solved leaf group into the output buffers in one update.
+
+    Args:
+        evals_buf: (X, n); vecs_buf: (X, n, n) - donated accumulators.
+        ev: (k, m) ascending leaf eigenvalues (pads sort last).
+        V: (k, n, m) leaf eigenvectors in the original basis.
+        matrix: (k,) int32 target matrix of each piece.
+        offset: (k,) int32 global eigenvalue offset of each piece.
+        m_eff: (k,) int32 true piece dims; 0 disables a (padding) row.
+    """
+    k, n, m = V.shape
+    cols = offset[:, None] + jnp.arange(m)[None, :]  # (k, m)
+    mask = jnp.arange(m)[None, :] < m_eff[:, None]
+    cols = jnp.clip(cols, 0, evals_buf.shape[1] - 1)
+    # Clipped duplicate columns only ever receive masked (zero) adds.
+    evals_buf = evals_buf.at[matrix[:, None], cols].add(ev * mask)
+    vecs_buf = vecs_buf.at[
+        matrix[:, None, None], jnp.arange(n)[None, :, None], cols[:, None, :]
+    ].add(V * mask[:, None, :])
+    return evals_buf, vecs_buf
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -272,30 +315,57 @@ def _polish(A0, evals, V, n: int):
 
 
 # ---------------------------------------------------------------------------
-# Host-side recursion.
+# Host-side recursion over stacked level-synchronous groups.
 # ---------------------------------------------------------------------------
 
 
-class _Problem:
-    __slots__ = ("H", "V", "m_true", "offset", "matrix")
+class _Group:
+    """A bucket of same-padded-size subproblems, stacked on device.
 
-    def __init__(self, H, V, m_true, offset, matrix):
-        self.H = H  # (m, m) device, padded
-        self.V = V  # (n, m) device isometry into the original basis
-        self.m_true = int(m_true)
-        self.offset = int(offset)  # global eigenvalue offset (ascending)
-        self.matrix = int(matrix)  # index into the input batch
+    H: (k, m, m) padded symmetric blocks; V: (k, n, m) isometries into the
+    original basis. Host metadata (numpy, length k): target `matrix` index,
+    global eigenvalue `offset`, true dim `m_true`, retry count `tries`, and
+    `real` (False rows are batch padding - duplicated live rows that keep
+    device shapes in _BATCH_GRAN multiples without NaN-producing dummies).
+    """
+
+    __slots__ = ("H", "V", "matrix", "offset", "m_true", "tries", "real")
+
+    def __init__(self, H, V, matrix, offset, m_true, tries, real):
+        self.H = H
+        self.V = V
+        self.matrix = matrix
+        self.offset = offset
+        self.m_true = m_true
+        self.tries = tries
+        self.real = real
+
+
+def _pad_sel(sel: np.ndarray) -> np.ndarray:
+    """Pads a selection to a _BATCH_GRAN multiple by repeating its first
+    entry; padded rows are flagged real=False by callers."""
+    k = _round_up(sel.size, _BATCH_GRAN)
+    if k == sel.size:
+        return sel
+    return np.concatenate([sel, np.full(k - sel.size, sel[0], sel.dtype)])
+
+
+def _merge_groups(parts: List[_Group]) -> _Group:
+    if len(parts) == 1:
+        return parts[0]
+    return _Group(
+        jnp.concatenate([g.H for g in parts]),
+        jnp.concatenate([g.V for g in parts]),
+        np.concatenate([g.matrix for g in parts]),
+        np.concatenate([g.offset for g in parts]),
+        np.concatenate([g.m_true for g in parts]),
+        np.concatenate([g.tries for g in parts]),
+        np.concatenate([g.real for g in parts]),
+    )
 
 
 def _bucket_size(size: int, n: int) -> int:
     return min(_round_up(max(size, 1), _BUCKET_GRAN), n)
-
-
-def _pad_batch(problems: List[_Problem], m: int):
-    """Stacks per-problem (m, m) matrices; returns (H, m_true) device."""
-    H = jnp.stack([p.H for p in problems])
-    m_true = jnp.asarray([p.m_true for p in problems], jnp.int32)
-    return H, m_true
 
 
 def eigh_spectral_dc(
@@ -331,97 +401,128 @@ def eigh_spectral_dc(
     mus = jnp.asarray(_get_schedule())
     num_iters = int(mus.shape[0])
 
-    eye_n = jnp.eye(n, dtype=jnp.float32)
-    problems = [
-        _Problem(A[i], eye_n, n, 0, i) for i in range(X)
-    ]
-    solved: List[Tuple[_Problem, jax.Array, jax.Array]] = []  # (prob, evals, vecs)
-    failed: List[int] = []
-    retries: Dict[Tuple[int, int], int] = {}
+    sel0 = _pad_sel(np.arange(X, dtype=np.int32))
+    k0 = sel0.size
+    root = _Group(
+        A[sel0] if k0 != X else A,
+        jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (k0, n, n)),
+        sel0.astype(np.int64),
+        np.zeros(k0, np.int64),
+        np.full(k0, n, np.int64),
+        np.zeros(k0, np.int64),
+        np.arange(k0) < X,
+    )
+    groups: Dict[int, _Group] = {n: root}
 
-    while problems:
-        # ---- leaves ----
-        leaves = [p for p in problems if p.m_true <= leaf_size or p.m_true <= 2]
-        pending = [p for p in problems if p not in leaves]
-        by_size: Dict[int, List[_Problem]] = {}
-        for p in leaves:
-            by_size.setdefault(p.H.shape[0], []).append(p)
-        for m, group in by_size.items():
-            H, m_true = _pad_batch(group, m)
-            evals, vecs = eigh_batched(H)  # pads sort last (ascending)
-            for j, p in enumerate(group):
-                Vg = _compose_v(p.V, vecs[j])
-                solved.append((p, evals[j], Vg))
-        # ---- splits, bucketed by padded size ----
-        by_size = {}
-        for p in pending:
-            by_size.setdefault(p.H.shape[0], []).append(p)
-        next_problems: List[_Problem] = []
-        for m, group in by_size.items():
-            H, m_true = _pad_batch(group, m)
-            quantile = jnp.asarray(
-                [0.5 + 0.15 * retries.get((p.matrix, p.offset), 0) for p in group],
-                jnp.float32,
-            )
-            Hc, Q, rank, quality = _split_bucket(H, m_true, quantile, mus, num_iters)
-            rank_h = np.asarray(rank)
-            quality_h = np.asarray(quality)
-            VQ = None
-            for j, p in enumerate(group):
-                r = int(rank_h[j])
-                ok = (
-                    not _force_fail
-                    and quality_h[j] < 1e-2
-                    and 0 < r < p.m_true
-                )
-                if not ok:
-                    tries = retries.get((p.matrix, p.offset), 0)
-                    if tries < max_retries:
-                        retries[(p.matrix, p.offset)] = tries + 1
-                        next_problems.append(p)  # retry at a shifted quantile
-                    else:
-                        failed.append(len(solved))
-                        solved.append((p, None, None))  # placeholder
-                    continue
-                if VQ is None:
-                    VQ = _compose_v(
-                        jnp.stack([q.V for q in group]), Q
-                    )
-                m_minus = _bucket_size(r, n)
-                m_plus = _bucket_size(p.m_true - r, n)
-                Hm, Vm, _ = _extract_child(
-                    Hc[j : j + 1], VQ[j : j + 1], rank[j : j + 1],
-                    m_true[j : j + 1], m_minus, True,
-                )
-                next_problems.append(
-                    _Problem(Hm[0], Vm[0], r, p.offset, p.matrix)
-                )
-                Hp, Vp, _ = _extract_child(
-                    Hc[j : j + 1], VQ[j : j + 1], rank[j : j + 1],
-                    m_true[j : j + 1], m_plus, False,
-                )
-                next_problems.append(
-                    _Problem(Hp[0], Vp[0], p.m_true - r, p.offset + r, p.matrix)
-                )
-        problems = next_problems
-
-    # ---- assemble ----
     evals_buf = jnp.zeros((X, n), jnp.float32)
     vecs_buf = jnp.zeros((X, n, n), jnp.float32)
     failed_matrices = set()
-    for entry in solved:
-        p, ev, vg = entry
-        if ev is None:
-            failed_matrices.add(p.matrix)
-    for p, ev, vg in solved:
-        if p.matrix in failed_matrices:
-            continue
-        evals_buf = evals_buf.at[p.matrix, p.offset : p.offset + p.m_true].set(
-            ev[: p.m_true]
-        )
-        vecs_buf = vecs_buf.at[
-            p.matrix, :, p.offset : p.offset + p.m_true
-        ].set(vg[:, : p.m_true])
+
+    while groups:
+        next_parts: Dict[int, List[_Group]] = {}
+        for m in sorted(groups, reverse=True):
+            g = groups[m]
+            k = g.m_true.shape[0]
+            if m <= leaf_size:
+                # ---- leaves: batched Jacobi + batched compose + scatter ----
+                ev, vecs = eigh_batched(g.H)  # pads sort last (ascending)
+                Vg = _compose_v(g.V, vecs)
+                m_eff = np.where(g.real, g.m_true, 0)
+                evals_buf, vecs_buf = _scatter_pieces(
+                    evals_buf,
+                    vecs_buf,
+                    ev,
+                    Vg,
+                    jnp.asarray(g.matrix, jnp.int32),
+                    jnp.asarray(g.offset, jnp.int32),
+                    jnp.asarray(m_eff, jnp.int32),
+                )
+                continue
+            # ---- split the whole bucket in one program ----
+            m_true_dev = jnp.asarray(g.m_true, jnp.int32)
+            quantile = jnp.asarray(0.5 + 0.15 * g.tries, jnp.float32)
+            Hc, Q, rank, quality = _split_bucket(
+                g.H, m_true_dev, quantile, mus, num_iters
+            )
+            # One host sync per bucket: ranks + qualities together.
+            rq = np.asarray(
+                jnp.concatenate([rank.astype(jnp.float32), quality])
+            )
+            rank_h = rq[:k].astype(np.int64)
+            quality_h = rq[k:]
+            VQ = _compose_v(g.V, Q)
+
+            ok = (
+                (not _force_fail)
+                & (quality_h < 1e-2)
+                & (rank_h > 0)
+                & (rank_h < g.m_true)
+                & g.real
+            )
+            retry = ~ok & g.real & (g.tries < max_retries)
+            exhausted = ~ok & g.real & (g.tries >= max_retries)
+            for i in np.nonzero(exhausted)[0]:
+                failed_matrices.add(int(g.matrix[i]))
+
+            retry_idx = np.nonzero(retry)[0]
+            if retry_idx.size:
+                sel = _pad_sel(retry_idx.astype(np.int32))
+                Hr, Vr = _gather_rows(g.H, g.V, jnp.asarray(sel))
+                next_parts.setdefault(m, []).append(
+                    _Group(
+                        Hr,
+                        Vr,
+                        g.matrix[sel],
+                        g.offset[sel],
+                        g.m_true[sel],
+                        g.tries[sel] + 1,
+                        np.arange(sel.size) < retry_idx.size,
+                    )
+                )
+
+            # ---- children: one extraction program per (bucket, side) ----
+            ok_idx = np.nonzero(ok)[0]
+            if ok_idx.size == 0:
+                continue
+            child_m = {
+                True: np.array(
+                    [_bucket_size(int(rank_h[j]), n) for j in ok_idx]
+                ),
+                False: np.array(
+                    [
+                        _bucket_size(int(g.m_true[j] - rank_h[j]), n)
+                        for j in ok_idx
+                    ]
+                ),
+            }
+            for minus in (True, False):
+                for mc in np.unique(child_m[minus]):
+                    pick = ok_idx[child_m[minus] == mc]
+                    sel = _pad_sel(pick.astype(np.int32))
+                    Hch, Vch = _extract_children(
+                        Hc, VQ, rank, m_true_dev, jnp.asarray(sel),
+                        int(mc), bool(minus),
+                    )
+                    sizes = (
+                        rank_h[sel] if minus else g.m_true[sel] - rank_h[sel]
+                    )
+                    offsets = (
+                        g.offset[sel]
+                        if minus
+                        else g.offset[sel] + rank_h[sel]
+                    )
+                    next_parts.setdefault(int(mc), []).append(
+                        _Group(
+                            Hch,
+                            Vch,
+                            g.matrix[sel],
+                            offsets,
+                            sizes,
+                            np.zeros(sel.size, np.int64),
+                            np.arange(sel.size) < pick.size,
+                        )
+                    )
+        groups = {m: _merge_groups(parts) for m, parts in next_parts.items()}
 
     if failed_matrices:
         solve = _fallback or (lambda M: jnp.linalg.eigh(M))
