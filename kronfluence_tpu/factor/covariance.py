@@ -19,7 +19,11 @@ import numpy as np
 
 from kronfluence_tpu.arguments import FactorArguments
 from kronfluence_tpu.capture.engine import capture, discover_specs
-from kronfluence_tpu.ops.covariance import gram
+from kronfluence_tpu.ops.covariance import (
+    conv_activation_gram,
+    gram,
+    use_conv_sym_gram,
+)
 from kronfluence_tpu.ops.flatten import flatten_activation, flatten_gradient
 from kronfluence_tpu.parallel.mesh import device_prefetch, factor_sharding, replicated, shard_batch
 from kronfluence_tpu.prepare import PreparedModel
@@ -116,8 +120,18 @@ def _make_covariance_update(
             att = _attention_mask_for(name, masks)
             mod_state = state[name]
             for a, dy in zip(cap.activations, cap.output_gradients):
-                a_flat, count_a = flatten_activation(spec, a, att, valid, act_dtype)
-                mod_state[ACTIVATION_COVARIANCE_MATRIX_NAME] += gram(a_flat, act_accum)
+                if spec.kind == "conv2d" and use_conv_sym_gram(spec):
+                    # Patch-free symmetric-block gram (ops/covariance.py):
+                    # ~1.8x fewer MXU FLOPs than gram(im2col) for 3x3 kernels.
+                    a_gram, count_a = conv_activation_gram(
+                        spec, a, valid, act_dtype, act_accum
+                    )
+                else:
+                    a_flat, count_a = flatten_activation(
+                        spec, a, att, valid, act_dtype
+                    )
+                    a_gram = gram(a_flat, act_accum)
+                mod_state[ACTIVATION_COVARIANCE_MATRIX_NAME] += a_gram
                 mod_state[NUM_ACTIVATION_COVARIANCE_PROCESSED] += count_a.astype(
                     mod_state[NUM_ACTIVATION_COVARIANCE_PROCESSED].dtype
                 )

@@ -21,6 +21,98 @@ def gram(flat: jax.Array, accum_dtype) -> jax.Array:
     )
 
 
+# Below this channel count the (C, C) offset blocks underfill the 128x128 MXU
+# tile and the symmetric decomposition loses to one padded im2col gram.
+_CONV_SYM_GRAM_MIN_CHANNELS = 128
+
+
+def use_conv_sym_gram(spec) -> bool:
+    """Whether `conv_activation_gram` beats an im2col gram for this layer."""
+    k2 = spec.kernel_size[0] * spec.kernel_size[1]
+    c = spec.in_dim // k2  # in_dim is C_in/groups * Kh * Kw
+    return c >= _CONV_SYM_GRAM_MIN_CHANNELS and k2 > 1
+
+
+def conv_activation_gram(spec, a, valid, dtype, accum_dtype):
+    """Conv2d activation covariance without materializing im2col patches.
+
+    The im2col gram `P^T P` (P: (rows, C*Kh*Kw)) is block-structured:
+    block (o1, o2) equals `X_{o1}^T X_{o2}` where X_o is the input shifted by
+    kernel offset o and cropped to the output positions. Since the gram is
+    symmetric, only the Kh*Kw*(Kh*Kw+1)/2 upper-triangle blocks need an MXU
+    contraction (45 instead of 81 for 3x3) and the mirrored blocks are plain
+    transposes — ~1.8x fewer gram FLOPs than `gram(flatten_activation(...))`
+    on top of skipping the (rows, C*Kh*Kw) patch materialization. Matches the
+    reference conv2d.py:107-120 statistics exactly (same padding/stride
+    semantics via the shared window slicer).
+
+    Args:
+        spec: conv2d LayerSpec.
+        a: raw NHWC activation (batch, H, W, C_in).
+        valid: optional (batch,) 0/1 sample mask (static-shape padding rows).
+        dtype: operand dtype (matches flatten_activation's `dtype`).
+        accum_dtype: accumulator dtype for the MXU contractions.
+
+    Returns:
+        (G, count): G is (D[+1], D[+1]) with D = C/groups * Kh * Kw in
+        channel-major (c, kh, kw) feature order (+ bias row/col when the
+        layer has a bias), count is the number of valid patch rows.
+    """
+    from kronfluence_tpu.ops.flatten import _expand_valid, conv2d_shift_windows
+
+    x = a.astype(dtype)
+    b = x.shape[0]
+    if valid is not None:
+        v = _expand_valid(valid, b).astype(dtype)
+        x = x * v[:, None, None, None]
+    windows, (out_h, out_w, c) = conv2d_shift_windows(x, spec)
+    k2 = len(windows)
+    rows = b * out_h * out_w
+    W = [win.reshape(rows, c) for win in windows]
+
+    blocks = {}
+    for o1 in range(k2):
+        for o2 in range(o1, k2):
+            blocks[(o1, o2)] = jax.lax.dot_general(
+                W[o1],
+                W[o2],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=accum_dtype,
+            )
+    S = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    blocks[(o1, o2)] if o1 <= o2 else blocks[(o2, o1)].T
+                    for o2 in range(k2)
+                ]
+            )
+            for o1 in range(k2)
+        ]
+    )  # (k2, k2, c, c)
+    # Feature index is channel-major: f = c * k2 + o.
+    G = S.transpose(2, 0, 3, 1).reshape(c * k2, c * k2)
+
+    if valid is None:
+        count = jnp.asarray(rows, dtype=jnp.int32)
+    else:
+        count = (jnp.sum(v.astype(jnp.int32)) * (out_h * out_w)).astype(jnp.int32)
+
+    if spec.has_bias:
+        # Bias column cross terms: per-offset column sums (invalid samples
+        # are already zeroed in x); bias-bias entry counts valid rows.
+        colsum = jnp.stack(
+            [
+                jnp.sum(w_.astype(accum_dtype), axis=0)
+                for w_ in W
+            ]
+        )  # (k2, c)
+        vb = colsum.T.reshape(c * k2, 1)
+        corner = count.astype(accum_dtype).reshape(1, 1)
+        G = jnp.block([[G, vb], [vb.T, corner]])
+    return G, count
+
+
 def per_sample_gradient(
     activation_tokens: jax.Array,  # (batch, tokens, in_dim[+1])
     gradient_tokens: jax.Array,  # (batch, tokens, out_dim)

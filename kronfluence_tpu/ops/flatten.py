@@ -80,19 +80,15 @@ def _resolve_conv_pads(spec: LayerSpec, h: int, w: int):
     return [tuple(p) for p in spec.padding]
 
 
-def extract_conv2d_patches(x: jax.Array, spec: LayerSpec) -> jax.Array:
-    """im2col for NHWC inputs -> (batch, positions, C_in/groups * Kh * Kw).
+def conv2d_shift_windows(x: jax.Array, spec: LayerSpec):
+    """Kh*Kw strided-slice views of a padded NHWC input, one per kernel
+    offset, each of shape (batch, out_h, out_w, C_in/groups).
 
     Channel groups are mean-reduced first (reference: conv2d.py:55-57).
-
-    Patches are gathered with Kh*Kw static strided slices + one stack, NOT
-    `jax.lax.conv_general_dilated_patches`: XLA lowers the latter as a conv
-    with `feature_group_count = C` (group size 1), which cannot use the MXU
-    and runs at VPU speed — on a v5e it was the bottleneck of the whole conv
-    covariance stage. Feature ordering is channel-major (C, kh, kw), matching
-    torch `F.unfold`, so conv factor artifacts stay cross-framework
-    interchangeable (verified by tests/test_reference_parity_conv.py).
-    """
+    Window `dy * kw + dx` holds, at output position p, the input value the
+    kernel tap (dy, dx) reads when producing p — i.e. column (c, dy, dx) of
+    the im2col matrix. Shared by im2col patch extraction and the
+    patch-free symmetric covariance gram (ops/covariance.py)."""
     b, h, w, c = x.shape
     groups = spec.feature_group_count
     if groups > 1:
@@ -118,10 +114,26 @@ def extract_conv2d_patches(x: jax.Array, spec: LayerSpec) -> jax.Array:
                     (1, sh, sw, 1),
                 )
             )
+    return windows, (out_h, out_w, c)
+
+
+def extract_conv2d_patches(x: jax.Array, spec: LayerSpec) -> jax.Array:
+    """im2col for NHWC inputs -> (batch, positions, C_in/groups * Kh * Kw).
+
+    Patches are gathered with Kh*Kw static strided slices + one stack, NOT
+    `jax.lax.conv_general_dilated_patches`: XLA lowers the latter as a conv
+    with `feature_group_count = C` (group size 1), which cannot use the MXU
+    and runs at VPU speed — on a v5e it was the bottleneck of the whole conv
+    covariance stage. Feature ordering is channel-major (C, kh, kw), matching
+    torch `F.unfold`, so conv factor artifacts stay cross-framework
+    interchangeable (verified by tests/test_reference_parity_conv.py).
+    """
+    b = x.shape[0]
+    windows, (out_h, out_w, c) = conv2d_shift_windows(x, spec)
     # Stack on the minor axis builds (b, oh, ow, c, kh*kw) — channel-major —
     # in one strided pass (stack-then-transpose would be two).
     p = jnp.stack(windows, axis=-1)
-    return p.reshape(b, out_h * out_w, c * kh * kw)
+    return p.reshape(b, out_h * out_w, c * len(windows))
 
 
 def _to_tokens(spec: LayerSpec, a: jax.Array) -> jax.Array:

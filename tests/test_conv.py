@@ -121,3 +121,105 @@ def test_patch_extraction_matches_xla_reference(strides, padding, dilation):
     ref = ref.reshape(ref.shape[0], -1, ref.shape[-1])
     assert ours.shape == ref.shape, (ours.shape, ref.shape)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("strides,padding,dilation,use_bias,groups,masked", [
+    ((1, 1), "SAME", (1, 1), True, 1, False),
+    ((1, 1), "SAME", (1, 1), True, 1, True),
+    ((2, 1), "VALID", (1, 1), False, 1, True),
+    ((1, 1), ((2, 1), (0, 2)), (1, 1), True, 2, False),
+    ((2, 2), "VALID", (2, 3), True, 1, True),
+])
+def test_conv_sym_gram_matches_im2col_gram(strides, padding, dilation, use_bias,
+                                           groups, masked):
+    """The patch-free symmetric-block activation gram (conv_activation_gram)
+    equals gram(flatten_activation(...)) for every conv geometry, bias, group,
+    and sample-mask combination."""
+    from kronfluence_tpu.capture.specs import LayerSpec
+    from kronfluence_tpu.ops.covariance import conv_activation_gram, gram
+    from kronfluence_tpu.ops.flatten import flatten_activation
+
+    rng = np.random.default_rng(3)
+    c_in = 6 * groups
+    x = jnp.asarray(rng.normal(size=(4, 9, 11, c_in)), jnp.float32)
+    valid = jnp.asarray([1, 1, 0, 1], jnp.float32) if masked else None
+    spec = LayerSpec(
+        name="c", kind="conv2d", has_bias=use_bias,
+        in_dim=(c_in // groups) * 9, out_dim=4,
+        kernel_size=(3, 3), strides=strides, padding=padding,
+        kernel_dilation=dilation, feature_group_count=groups,
+    )
+    flat, count_ref = flatten_activation(spec, x, None, valid, jnp.float32)
+    g_ref = gram(flat, jnp.float32)
+    g_sym, count_sym = conv_activation_gram(spec, x, valid, jnp.float32,
+                                            jnp.float32)
+    assert g_sym.shape == g_ref.shape, (g_sym.shape, g_ref.shape)
+    assert int(count_sym) == int(count_ref)
+    scale = max(float(jnp.abs(g_ref).max()), 1e-20)
+    np.testing.assert_allclose(
+        np.asarray(g_sym) / scale, np.asarray(g_ref) / scale, atol=2e-6
+    )
+
+
+def test_conv_sym_gram_dispatch_threshold():
+    """The covariance step only takes the symmetric path for wide layers
+    (narrow channel blocks underfill the MXU tile)."""
+    from kronfluence_tpu.capture.specs import LayerSpec
+    from kronfluence_tpu.ops.covariance import use_conv_sym_gram
+
+    def spec_for(c, k=3):
+        return LayerSpec(
+            name="c", kind="conv2d", has_bias=True, in_dim=c * k * k,
+            out_dim=4, kernel_size=(k, k), strides=(1, 1), padding="SAME",
+            kernel_dilation=(1, 1), feature_group_count=1,
+        )
+
+    assert use_conv_sym_gram(spec_for(128))
+    assert use_conv_sym_gram(spec_for(512))
+    assert not use_conv_sym_gram(spec_for(64))
+    assert not use_conv_sym_gram(spec_for(512, k=1))
+
+
+def test_conv_covariance_stage_sym_vs_im2col(monkeypatch):
+    """Full covariance stage gives identical factors whether the conv
+    activation gram takes the symmetric patch-free path or im2col (the
+    dispatch is forced on so a small CNN exercises the former).
+
+    A fresh PreparedModel is built for the second run (the compiled step is
+    cached on the model object), and a trace-time counter proves the
+    symmetric path actually ran."""
+    from kronfluence_tpu.factor import covariance as cov_stage
+    from kronfluence_tpu.ops import covariance as cov_ops
+
+    model, params, task = make_cnn()
+    data = make_classification_data(6)
+    args = FactorArguments(
+        strategy="ekfac",
+        use_empirical_fisher=True,
+        activation_covariance_dtype="float64",
+        gradient_covariance_dtype="float64",
+    )
+    base = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(data, 3), args
+    )
+    calls = []
+    real = cov_ops.conv_activation_gram
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(cov_stage, "use_conv_sym_gram", lambda spec: True)
+    monkeypatch.setattr(cov_stage, "conv_activation_gram", counting)
+    model2, params2, _ = make_cnn()
+    sym = fit_covariance_matrices_with_loader(
+        model2, params2, task, BatchLoader(data, 3), args
+    )
+    assert calls, "symmetric conv gram path was not traced"
+    for factor_name in base:
+        for module_name in base[factor_name]:
+            np.testing.assert_allclose(
+                sym[factor_name][module_name],
+                base[factor_name][module_name],
+                rtol=1e-6, atol=1e-9, err_msg=f"{factor_name}/{module_name}",
+            )
