@@ -38,7 +38,7 @@ advantage of keeping the recursion off the device.
 
 import math
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
