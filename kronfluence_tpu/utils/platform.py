@@ -21,6 +21,18 @@ import jax
 _CACHE_ENABLED = False
 
 
+def is_tpu_backend() -> bool:
+    """True when compute runs on TPU hardware (incl. tunneled TPU plugins
+    whose platform name differs from "tpu"): gates Pallas kernel paths."""
+    backend = jax.default_backend()
+    if backend in ("tpu", "axon"):
+        return True
+    try:
+        return "tpu" in str(jax.devices()[0].device_kind).lower()
+    except Exception:
+        return False
+
+
 def enable_persistent_cache(path: Optional[str] = None) -> None:
     """Enables the on-disk XLA compilation cache (idempotent).
 

@@ -223,3 +223,53 @@ def test_conv_covariance_stage_sym_vs_im2col(monkeypatch):
                 base[factor_name][module_name],
                 rtol=1e-6, atol=1e-9, err_msg=f"{factor_name}/{module_name}",
             )
+
+
+@pytest.mark.parametrize("rows,n", [(300, 700), (640, 1100), (77, 513)])
+def test_pallas_syrk_matches_dense_gram(rows, n):
+    """Triangle-tile syrk (interpret mode) equals the dense A^T A, including
+    padding edges at non-tile-multiple shapes."""
+    from kronfluence_tpu.ops.pallas.syrk import syrk
+
+    rng = np.random.default_rng(rows + n)
+    a = rng.standard_normal((rows, n)).astype(np.float32)
+    g = syrk(jnp.asarray(a), tile_n=256, tile_k=256, interpret=True)
+    ref = a.T @ a
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(
+        np.asarray(g) / scale, ref / scale, atol=5e-6
+    )
+    # Exact symmetry by construction (mirrored lower triangle).
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g).T)
+
+
+def test_pallas_syrk_bf16_operands():
+    """bf16 operands accumulate in fp32 (the production covariance dtype)."""
+    from kronfluence_tpu.ops.pallas.syrk import syrk
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((500, 640)).astype(np.float32)
+    a16 = jnp.asarray(a, jnp.bfloat16)
+    g = syrk(a16, jnp.float32, tile_n=128, tile_k=128, interpret=True)
+    assert g.dtype == jnp.float32
+    ref = np.asarray(a16, np.float32).T @ np.asarray(a16, np.float32)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(g) / scale, ref / scale, atol=2e-2)
+
+
+def test_gram_syrk_dispatch_gating():
+    """gram() only takes the Pallas path on TPU backends with wide fp32
+    accumulation; on CPU it must stay on the XLA dot."""
+    from kronfluence_tpu.ops.covariance import gram
+    from kronfluence_tpu.ops.pallas.syrk import syrk_supported
+
+    assert syrk_supported(2048, jnp.float32)
+    assert syrk_supported(3073, jnp.float32)
+    assert not syrk_supported(769, jnp.float32)   # pad waste beats savings
+    assert not syrk_supported(2048, jnp.float64)  # fp64: parity paths
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal((64, 2048)), jnp.float32)
+    g = gram(a, jnp.float32)  # CPU backend -> XLA dot, still correct
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(a).T @ np.asarray(a), rtol=1e-4
+    )
