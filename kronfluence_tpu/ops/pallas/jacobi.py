@@ -162,7 +162,9 @@ def jacobi_pivot_rotations(
     if eps is None:
         eps = float(jnp.finfo(jnp.float32).eps)
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from kronfluence_tpu.utils.platform import is_tpu_backend
+
+        interpret = not is_tpu_backend()
 
     yt = min(batch_tile, y)
     y_pad = int(math.ceil(y / yt) * yt)
