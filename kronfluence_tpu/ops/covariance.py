@@ -147,6 +147,64 @@ def per_sample_gradient(
     )
 
 
+def conv_per_sample_gradient(
+    spec,
+    a: jax.Array,  # raw NHWC activation (batch, H, W, C_in)
+    dy: jax.Array,  # raw NHWC output gradient (batch, OH, OW, C_out)
+    valid,
+    accum_dtype,
+) -> jax.Array:
+    """Per-sample conv weight gradients WITHOUT materializing im2col patches.
+
+    Equivalent to `per_sample_gradient(activation_tokens_with_bias(...),
+    gradient_tokens(...))` for conv2d specs, but expressed as a vmapped
+    conv-backprop-filter: XLA lowers it to ONE grouped convolution
+    (feature_group_count = batch), skipping the (batch, positions, C*Kh*Kw)
+    patch buffer that dominates HBM traffic for large spatial layers.
+    Returns (batch, out_dim, in_dim[+1]) in channel-major feature order.
+
+    Experimental: not yet dispatched by the stage drivers (grouped-conv
+    throughput on the MXU must be validated per generation first).
+    """
+    from kronfluence_tpu.ops.flatten import _expand_valid, _resolve_conv_pads
+
+    x = a.astype(accum_dtype)
+    g = dy.astype(accum_dtype)
+    b, h, w, c = x.shape
+    groups = spec.feature_group_count
+    if groups > 1:
+        x = x.reshape(b, h, w, groups, c // groups).mean(axis=3)
+        c = c // groups
+    if valid is not None:
+        g = g * _expand_valid(valid, b).astype(g.dtype)[:, None, None, None]
+    kh, kw = spec.kernel_size
+    pads = _resolve_conv_pads(spec, h, w)
+    w0 = jnp.zeros((kh, kw, c, spec.out_dim), accum_dtype)
+
+    def filter_grad(xb, gb):
+        def apply(wk):
+            return jax.lax.conv_general_dilated(
+                xb[None],
+                wk,
+                window_strides=spec.strides,
+                padding=pads,
+                rhs_dilation=spec.kernel_dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=accum_dtype,
+            )
+
+        _, vjp = jax.vjp(apply, w0)
+        return vjp(gb[None])[0]  # (kh, kw, c, out)
+
+    dw = jax.vmap(filter_grad)(x, g)  # (b, kh, kw, c, out)
+    # Channel-major feature order (c, kh, kw), matching im2col flattening.
+    psg = dw.transpose(0, 4, 3, 1, 2).reshape(b, spec.out_dim, c * kh * kw)
+    if spec.has_bias:
+        bias = jnp.sum(g, axis=(1, 2))  # (b, out)
+        psg = jnp.concatenate([psg, bias[:, :, None]], axis=-1)
+    return psg
+
+
 def summed_gradient(
     activation_tokens: jax.Array,
     gradient_tokens: jax.Array,

@@ -273,3 +273,55 @@ def test_gram_syrk_dispatch_gating():
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(a).T @ np.asarray(a), rtol=1e-4
     )
+
+
+@pytest.mark.parametrize("strides,padding,dilation,use_bias,groups,masked", [
+    ((1, 1), "SAME", (1, 1), True, 1, False),
+    ((2, 1), "VALID", (1, 1), False, 1, True),
+    ((1, 1), ((2, 1), (0, 2)), (1, 1), True, 2, False),
+    ((2, 2), "VALID", (2, 3), True, 1, True),
+])
+def test_conv_per_sample_gradient_direct_matches_patches(
+    strides, padding, dilation, use_bias, groups, masked
+):
+    """The patch-free vmapped conv-backprop-filter per-sample gradient equals
+    the im2col psg for every conv geometry / bias / groups / mask combo."""
+    from kronfluence_tpu.capture.specs import LayerSpec
+    from kronfluence_tpu.ops.covariance import (
+        conv_per_sample_gradient,
+        per_sample_gradient,
+    )
+    from kronfluence_tpu.ops.flatten import (
+        activation_tokens_with_bias,
+        gradient_tokens,
+    )
+
+    rng = np.random.default_rng(5)
+    c_in, c_out = 6 * groups, 4
+    x = jnp.asarray(rng.normal(size=(4, 9, 11, c_in)), jnp.float32)
+    spec = LayerSpec(
+        name="c", kind="conv2d", has_bias=use_bias,
+        in_dim=(c_in // groups) * 9, out_dim=c_out,
+        kernel_size=(3, 3), strides=strides, padding=padding,
+        kernel_dilation=dilation, feature_group_count=groups,
+    )
+    a_tok = activation_tokens_with_bias(spec, x, jnp.float32)
+    oh_ow = a_tok.shape[1]
+    dy = jnp.asarray(rng.normal(size=(4,) + _spatial_of(x, spec) + (c_out,)),
+                     jnp.float32)
+    assert dy.shape[1] * dy.shape[2] == oh_ow, (dy.shape, oh_ow)
+    valid = jnp.asarray([1, 0, 1, 1], jnp.float32) if masked else None
+    g_tok = gradient_tokens(spec, dy, valid, jnp.float32)
+    ref = per_sample_gradient(a_tok, g_tok, jnp.float32)
+    ours = conv_per_sample_gradient(spec, x, dy, valid, jnp.float32)
+    scale = max(float(jnp.abs(ref).max()), 1e-20)
+    np.testing.assert_allclose(
+        np.asarray(ours) / scale, np.asarray(ref) / scale, atol=2e-6
+    )
+
+
+def _spatial_of(x, spec):
+    from kronfluence_tpu.ops.flatten import conv2d_shift_windows
+
+    _, (oh, ow, _) = conv2d_shift_windows(x, spec)
+    return (oh, ow)
