@@ -1,6 +1,7 @@
 """Shared scoring machinery: precondition-state preparation and per-sample
 gradient assembly from captures."""
 
+import os
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
@@ -9,7 +10,10 @@ import jax.numpy as jnp
 from kronfluence_tpu.arguments import FactorArguments, ScoreArguments
 from kronfluence_tpu.capture.engine import LayerCapture
 from kronfluence_tpu.factor.config import FactorConfig, PreconditionState, get_factor_config
-from kronfluence_tpu.ops.covariance import per_sample_gradient as psg_op
+from kronfluence_tpu.ops.covariance import (
+    conv_per_sample_gradient,
+    per_sample_gradient as psg_op,
+)
 from kronfluence_tpu.ops.flatten import activation_tokens_with_bias, gradient_tokens
 from kronfluence_tpu.task import Task
 from kronfluence_tpu.utils.exceptions import FactorsNotFoundError
@@ -93,11 +97,18 @@ def module_per_sample_gradients(
     module_name: Optional[str] = None,
 ) -> jax.Array:
     """(batch, out_dim, in_dim[+1]) per-sample gradients, summed over uses."""
+    # KRON_CONV_DIRECT_PSG=1 routes conv modules through the patch-free
+    # vmapped conv-backprop-filter (ops/covariance.py) instead of im2col;
+    # read per call so measurement experiments can toggle it per process.
+    conv_direct = os.environ.get("KRON_CONV_DIRECT_PSG", "0") == "1"
     total = None
     for a, dy in zip(cap.activations, cap.output_gradients):
-        a_tok = activation_tokens_with_bias(cap.spec, a, dtype)
-        g_tok = gradient_tokens(cap.spec, dy, valid, dtype)
-        contrib = psg_op(a_tok, g_tok, dtype)
+        if conv_direct and cap.spec.kind == "conv2d":
+            contrib = conv_per_sample_gradient(cap.spec, a, dy, valid, dtype)
+        else:
+            a_tok = activation_tokens_with_bias(cap.spec, a, dtype)
+            g_tok = gradient_tokens(cap.spec, dy, valid, dtype)
+            contrib = psg_op(a_tok, g_tok, dtype)
         total = contrib if total is None else total + contrib
     if task is not None and task.enable_post_process_per_sample_gradient:
         total = task.post_process_per_sample_gradient(module_name, total)

@@ -325,3 +325,34 @@ def _spatial_of(x, spec):
 
     _, (oh, ow, _) = conv2d_shift_windows(x, spec)
     return (oh, ow)
+
+
+def test_conv_direct_psg_flag_end_to_end(monkeypatch):
+    """With KRON_CONV_DIRECT_PSG=1, self-influence scores are identical to the
+    im2col default (fresh model per run; the step cache is per-model)."""
+    from kronfluence_tpu.arguments import ScoreArguments
+    from kronfluence_tpu.score.self_scores import compute_self_scores_with_loaders
+
+    data = make_classification_data(6)
+    sargs = ScoreArguments(
+        per_sample_gradient_dtype="float64", precondition_dtype="float64",
+        score_dtype="float64",
+    )
+    fargs = FactorArguments(
+        strategy="identity", use_empirical_fisher=True,
+    )
+
+    def run():
+        model, params, task = make_cnn()
+        return compute_self_scores_with_loaders(
+            model, params, task, BatchLoader(data, 3), {}, fargs, sargs
+        )
+
+    base = run()
+    monkeypatch.setenv("KRON_CONV_DIRECT_PSG", "1")
+    direct = run()
+    for key in base:
+        np.testing.assert_allclose(
+            np.asarray(direct[key]), np.asarray(base[key]), rtol=1e-10,
+            err_msg=key,
+        )
