@@ -338,8 +338,12 @@ LARGE_EIGH_DIM = 6144
 def eigh_large(
     matrices: jax.Array, _device_solver=None
 ) -> Tuple[jax.Array, jax.Array]:
-    """Llama-scale eigendecomposition: per-matrix device QDWH, falling back to
-    host fp64 LAPACK per matrix if the device solve exhausts HBM.
+    """Llama-scale eigendecomposition: per-matrix device spectral
+    divide-and-conquer (bounded compile, batched MXU math at every recursion
+    level; a 14336 QDWH both compiles for a very long time and holds several
+    822 MB workspaces), falling back to host fp64 LAPACK per matrix if the
+    device solve exhausts HBM. Matches the reference's GPU->CPU retry
+    (kronfluence/factor/eigen.py:199-213).
 
     Args:
         matrices: (..., n, n) symmetric, typically n >= LARGE_EIGH_DIM.
@@ -348,7 +352,23 @@ def eigh_large(
     batch_shape = matrices.shape[:-2]
     n = matrices.shape[-1]
     A = matrices.reshape((-1, n, n)).astype(jnp.float32)
-    solve = _device_solver or jax.jit(jnp.linalg.eigh)
+    if _device_solver is None:
+        from kronfluence_tpu.ops.eigh_dc import eigh_spectral_dc
+
+        def _host_lapack(M):
+            ev, vec = np.linalg.eigh(np.asarray(M, np.float64))
+            return (
+                jnp.asarray(ev.astype(np.float32)),
+                jnp.asarray(vec.astype(np.float32)),
+            )
+
+        def solve(M):
+            # Failed splits go straight to host LAPACK rather than paying the
+            # giant-dim stock-eigh compile the default fallback would trigger.
+            ev, vec = eigh_spectral_dc(M[None], _fallback=_host_lapack)
+            return ev[0], vec[0]
+    else:
+        solve = _device_solver
     ev_parts, vec_parts = [], []
     for i in range(A.shape[0]):
         try:

@@ -341,10 +341,18 @@ class _Group:
         self.real = real
 
 
-def _pad_sel(sel: np.ndarray) -> np.ndarray:
-    """Pads a selection to a _BATCH_GRAN multiple by repeating its first
+def _batch_gran(m: int) -> int:
+    """Batch-dim padding granularity for an (k, m, m) bucket: 8 for small
+    matrices, shrinking so padded rows never add more than ~256 MB / their
+    matching compute at Llama-scale dims (a 14336^2 block is 822 MB — padding
+    a single-matrix solve to 8 would 8x both HBM and MXU work)."""
+    return max(1, min(_BATCH_GRAN, 67_108_864 // (m * m)))
+
+
+def _pad_sel(sel: np.ndarray, m: int) -> np.ndarray:
+    """Pads a selection to a `_batch_gran(m)` multiple by repeating its first
     entry; padded rows are flagged real=False by callers."""
-    k = _round_up(sel.size, _BATCH_GRAN)
+    k = _round_up(sel.size, _batch_gran(m))
     if k == sel.size:
         return sel
     return np.concatenate([sel, np.full(k - sel.size, sel[0], sel.dtype)])
@@ -401,7 +409,7 @@ def eigh_spectral_dc(
     mus = jnp.asarray(_get_schedule())
     num_iters = int(mus.shape[0])
 
-    sel0 = _pad_sel(np.arange(X, dtype=np.int32))
+    sel0 = _pad_sel(np.arange(X, dtype=np.int32), n)
     k0 = sel0.size
     root = _Group(
         A[sel0] if k0 != X else A,
@@ -466,7 +474,7 @@ def eigh_spectral_dc(
 
             retry_idx = np.nonzero(retry)[0]
             if retry_idx.size:
-                sel = _pad_sel(retry_idx.astype(np.int32))
+                sel = _pad_sel(retry_idx.astype(np.int32), m)
                 Hr, Vr = _gather_rows(g.H, g.V, jnp.asarray(sel))
                 next_parts.setdefault(m, []).append(
                     _Group(
@@ -498,7 +506,7 @@ def eigh_spectral_dc(
             for minus in (True, False):
                 for mc in np.unique(child_m[minus]):
                     pick = ok_idx[child_m[minus] == mc]
-                    sel = _pad_sel(pick.astype(np.int32))
+                    sel = _pad_sel(pick.astype(np.int32), int(mc))
                     Hch, Vch = _extract_children(
                         Hc, VQ, rank, m_true_dev, jnp.asarray(sel),
                         int(mc), bool(minus),
