@@ -162,8 +162,13 @@ class TraceProfiler(Profiler):
             jax.profiler.start_trace(self.trace_dir)
             self._tracing = True
         try:
-            with super().profile(action_name):
-                yield
+            # Nested regions cannot start their own trace (jax.profiler
+            # permits one at a time), but a TraceAnnotation labels the span
+            # inside the enclosing trace so stage sub-phases stay visible in
+            # the TensorBoard timeline instead of silently merging.
+            with jax.profiler.TraceAnnotation(action_name):
+                with super().profile(action_name):
+                    yield
         finally:
             if start_trace:
                 jax.profiler.stop_trace()
