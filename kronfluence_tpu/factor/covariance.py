@@ -20,11 +20,12 @@ import numpy as np
 from kronfluence_tpu.arguments import FactorArguments
 from kronfluence_tpu.capture.engine import capture, discover_specs
 from kronfluence_tpu.ops.covariance import (
+    bordered_gram,
     conv_activation_gram,
     gram,
     use_conv_sym_gram,
 )
-from kronfluence_tpu.ops.flatten import flatten_activation, flatten_gradient
+from kronfluence_tpu.ops.flatten import flatten_activation_parts, flatten_gradient
 from kronfluence_tpu.parallel.mesh import device_prefetch, factor_sharding, replicated, shard_batch
 from kronfluence_tpu.prepare import PreparedModel
 from kronfluence_tpu.task import Task
@@ -127,10 +128,14 @@ def _make_covariance_update(
                         spec, a, valid, act_dtype, act_accum
                     )
                 else:
-                    a_flat, count_a = flatten_activation(
+                    # Bias column as an analytic border: no (rows, d+1)
+                    # concat copy, and the gram operand stays 128-aligned.
+                    a2, mask_a, count_a = flatten_activation_parts(
                         spec, a, att, valid, act_dtype
                     )
-                    a_gram = gram(a_flat, act_accum)
+                    a_gram = bordered_gram(
+                        a2, mask_a, count_a, spec.has_bias, act_accum
+                    )
                 mod_state[ACTIVATION_COVARIANCE_MATRIX_NAME] += a_gram
                 mod_state[NUM_ACTIVATION_COVARIANCE_PROCESSED] += count_a.astype(
                     mod_state[NUM_ACTIVATION_COVARIANCE_PROCESSED].dtype

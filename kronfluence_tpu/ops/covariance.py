@@ -36,6 +36,23 @@ def gram(flat: jax.Array, accum_dtype) -> jax.Array:
     )
 
 
+def bordered_gram(a2: jax.Array, mask, count, has_bias: bool, accum_dtype):
+    """Gram of a masked activation with the bias ones-column assembled as an
+    analytic border instead of a materialized concat.
+
+    `[[A^T A, A^T 1], [1^T A, count]]` equals `gram([A | mask])`: A is already
+    row-masked, so the cross term is a plain column sum and the corner is the
+    valid-row count. Keeping A at its native width preserves 128-lane
+    alignment (768/3072 rather than 769/3073) for the MXU/syrk tiling.
+    """
+    G = gram(a2, accum_dtype)
+    if not has_bias:
+        return G
+    col = jnp.sum(a2.astype(accum_dtype), axis=0)[:, None]
+    corner = jnp.asarray(count, accum_dtype).reshape(1, 1)
+    return jnp.block([[G, col], [col.T, corner]])
+
+
 # Below this channel count the (C, C) offset blocks underfill the 128x128 MXU
 # tile and the symmetric decomposition loses to one padded im2col gram.
 _CONV_SYM_GRAM_MIN_CHANNELS = 128

@@ -154,6 +154,30 @@ def _append_bias_column(a2: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
     return jnp.concatenate([a2, ones], axis=-1)
 
 
+def flatten_activation_parts(
+    spec: LayerSpec,
+    a: jax.Array,
+    attention_mask: Optional[jax.Array],
+    valid: Optional[jax.Array],
+    dtype,
+) -> Tuple[jax.Array, Optional[jax.Array], jax.Array]:
+    """Masked (rows, in_dim) activation WITHOUT the bias ones-column, plus
+    the (rows, 1) mask (None if unmasked) and the valid-row count.
+
+    The covariance path assembles the bias row/column of the gram
+    analytically from these parts (ops/covariance.py `bordered_gram`) instead
+    of materializing the +1 concat: the copy is saved and the gram operand
+    keeps its 128-lane-aligned width (768/3072, not 769/3073)."""
+    use_attention = spec.kind == "linear"
+    tokens = _to_tokens(spec, a.astype(dtype))
+    rows = tokens.shape[0] * tokens.shape[1]
+    a2 = tokens.reshape(rows, tokens.shape[-1])
+    mask = _row_mask(tokens.shape, attention_mask, valid, dtype, use_attention)
+    if mask is not None:
+        a2 = a2 * mask
+    return a2, mask, _count_from(mask, rows)
+
+
 def flatten_activation(
     spec: LayerSpec,
     a: jax.Array,
@@ -167,16 +191,10 @@ def flatten_activation(
     padded activations and the bias ones-column; count = mask sum). Conv
     semantics follow conv2d.py:107-133 (no attention mask; count = rows).
     """
-    use_attention = spec.kind == "linear"
-    tokens = _to_tokens(spec, a.astype(dtype))
-    rows = tokens.shape[0] * tokens.shape[1]
-    a2 = tokens.reshape(rows, tokens.shape[-1])
-    mask = _row_mask(tokens.shape, attention_mask, valid, dtype, use_attention)
-    if mask is not None:
-        a2 = a2 * mask
+    a2, mask, count = flatten_activation_parts(spec, a, attention_mask, valid, dtype)
     if spec.has_bias:
         a2 = _append_bias_column(a2, mask)
-    return a2, _count_from(mask, rows)
+    return a2, count
 
 
 def flatten_gradient(
