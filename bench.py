@@ -192,7 +192,11 @@ def main():
     factor_args.use_empirical_fisher = True
     # On-device fp32 eigendecomposition (XLA QDWH by default; compile is
     # one-time per shape and persisted in .jax_cache).
+    # KRON_BENCH_EIGH_SOLVER: auto|qdwh|jacobi|dc for solver A/B runs.
     factor_args.eigendecomposition_dtype = "float32"
+    factor_args.eigendecomposition_solver = os.environ.get(
+        "KRON_BENCH_EIGH_SOLVER", "auto"
+    )
     score_args = smart_low_precision_score_arguments()
     score_args.query_gradient_accumulation_steps = QUERY_ACC
 
