@@ -26,7 +26,6 @@ Interpreter mode (`interpret=True`) runs the same kernel on CPU for tests.
 """
 
 import functools
-from typing import Optional
 
 import numpy as np
 
