@@ -194,9 +194,11 @@ def main():
     # one-time per shape and persisted in .jax_cache).
     # KRON_BENCH_EIGH_SOLVER: auto|qdwh|jacobi|dc for solver A/B runs.
     factor_args.eigendecomposition_dtype = "float32"
-    factor_args.eigendecomposition_solver = os.environ.get(
-        "KRON_BENCH_EIGH_SOLVER", "auto"
-    )
+    from kronfluence_tpu.arguments import FactorArguments
+
+    solver = os.environ.get("KRON_BENCH_EIGH_SOLVER", "auto")
+    FactorArguments(eigendecomposition_solver=solver)  # validate (typo guard)
+    factor_args.eigendecomposition_solver = solver
     score_args = smart_low_precision_score_arguments()
     score_args.query_gradient_accumulation_steps = QUERY_ACC
 

@@ -103,9 +103,13 @@ def discover_stage_specs(
 
 def _make_covariance_update(
     model, task, tracked_key_, act_dtype, grad_dtype, sample,
-    amp_dtype=None, remat=False, amp_scale=None,
+    amp_dtype=None, remat=False, amp_scale=None, allow_syrk=True,
 ):
-    """Pure per-batch update shared by the jitted step and the scanned loop."""
+    """Pure per-batch update shared by the jitted step and the scanned loop.
+
+    `allow_syrk=False` for meshed (SPMD-sharded) steps: the Pallas syrk
+    kernel has no partitioning rule, so the XLA dot must be used there.
+    """
     act_accum = accumulation_dtype(act_dtype)
     grad_accum = accumulation_dtype(grad_dtype)
     tracked = list(tracked_key_) if tracked_key_ is not None else None
@@ -130,18 +134,21 @@ def _make_covariance_update(
                 else:
                     # Bias column as an analytic border: no (rows, d+1)
                     # concat copy, and the gram operand stays 128-aligned.
-                    a2, mask_a, count_a = flatten_activation_parts(
+                    a2, _, count_a = flatten_activation_parts(
                         spec, a, att, valid, act_dtype
                     )
                     a_gram = bordered_gram(
-                        a2, mask_a, count_a, spec.has_bias, act_accum
+                        a2, count_a, spec.has_bias, act_accum,
+                        allow_syrk=allow_syrk,
                     )
                 mod_state[ACTIVATION_COVARIANCE_MATRIX_NAME] += a_gram
                 mod_state[NUM_ACTIVATION_COVARIANCE_PROCESSED] += count_a.astype(
                     mod_state[NUM_ACTIVATION_COVARIANCE_PROCESSED].dtype
                 )
                 g_flat, count_g = flatten_gradient(spec, dy, att, valid, grad_dtype)
-                mod_state[GRADIENT_COVARIANCE_MATRIX_NAME] += gram(g_flat, grad_accum)
+                mod_state[GRADIENT_COVARIANCE_MATRIX_NAME] += gram(
+                    g_flat, grad_accum, allow_syrk=allow_syrk
+                )
                 mod_state[NUM_GRADIENT_COVARIANCE_PROCESSED] += count_g.astype(
                     mod_state[NUM_GRADIENT_COVARIANCE_PROCESSED].dtype
                 )
@@ -156,7 +163,7 @@ def _build_covariance_step(
 ):
     update = _make_covariance_update(
         model, task, tracked_key_, act_dtype, grad_dtype, sample,
-        amp_dtype, remat, amp_scale,
+        amp_dtype, remat, amp_scale, allow_syrk=mesh is None,
     )
     return partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)(update)
 

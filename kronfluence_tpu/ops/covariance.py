@@ -16,13 +16,20 @@ import jax.numpy as jnp
 _SYRK_ENABLED = os.environ.get("KRON_SYRK", "1") != "0"
 
 
-def gram(flat: jax.Array, accum_dtype) -> jax.Array:
+def gram(flat: jax.Array, accum_dtype, allow_syrk: bool = True) -> jax.Array:
     """Returns `flat^T @ flat` with the requested accumulation dtype.
 
     Wide operands on TPU route through the Pallas syrk kernel
     (ops/pallas/syrk.py), which computes only lower-triangle tiles of the
-    symmetric result (~0.55x the MXU FLOPs of XLA's full product)."""
-    if _SYRK_ENABLED:
+    symmetric result (~0.55x the MXU FLOPs of XLA's full product).
+
+    Args:
+        allow_syrk: callers running under a sharded mesh must pass False —
+            a pallas_call has no SPMD partitioning rule, so the partitioner
+            would all-gather the row-sharded operand onto every device,
+            while the XLA dot partitions into per-shard matmul + all-reduce.
+    """
+    if _SYRK_ENABLED and allow_syrk:
         from kronfluence_tpu.ops.pallas.syrk import syrk, syrk_supported
         from kronfluence_tpu.utils.platform import is_tpu_backend
 
@@ -36,16 +43,19 @@ def gram(flat: jax.Array, accum_dtype) -> jax.Array:
     )
 
 
-def bordered_gram(a2: jax.Array, mask, count, has_bias: bool, accum_dtype):
+def bordered_gram(
+    a2: jax.Array, count, has_bias: bool, accum_dtype, allow_syrk: bool = True
+):
     """Gram of a masked activation with the bias ones-column assembled as an
     analytic border instead of a materialized concat.
 
-    `[[A^T A, A^T 1], [1^T A, count]]` equals `gram([A | mask])`: A is already
-    row-masked, so the cross term is a plain column sum and the corner is the
-    valid-row count. Keeping A at its native width preserves 128-lane
-    alignment (768/3072 rather than 769/3073) for the MXU/syrk tiling.
+    `[[A^T A, A^T 1], [1^T A, count]]` equals `gram([A | mask])` for a 0/1
+    row mask already applied to A: the cross term is a plain column sum and
+    the corner is the valid-row count. Keeping A at its native width
+    preserves 128-lane alignment (768/3072 rather than 769/3073) for the
+    MXU/syrk tiling.
     """
-    G = gram(a2, accum_dtype)
+    G = gram(a2, accum_dtype, allow_syrk=allow_syrk)
     if not has_bias:
         return G
     col = jnp.sum(a2.astype(accum_dtype), axis=0)[:, None]

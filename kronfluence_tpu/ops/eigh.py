@@ -373,7 +373,13 @@ def eigh_large(
     for i in range(A.shape[0]):
         try:
             ev, vec = solve(A[i])
+            # Force completion with a host fetch: on tunneled backends
+            # block_until_ready can return before device errors surface, and
+            # a RESOURCE_EXHAUSTED escaping this try would skip the host
+            # fallback. A one-element fetch awaits the whole computation.
             jax.block_until_ready((ev, vec))
+            np.asarray(ev[:1])
+            np.asarray(vec[:1, :1])
         except Exception as exc:  # noqa: BLE001 — re-raised unless memory-related
             message = str(exc)
             if not any(

@@ -350,10 +350,14 @@ def _batch_gran(m: int) -> int:
 
 
 def _pad_sel(sel: np.ndarray, m: int) -> np.ndarray:
-    """Pads a selection to a `_batch_gran(m)` multiple by repeating its first
-    entry; padded rows are flagged real=False by callers."""
-    k = _round_up(sel.size, _batch_gran(m))
-    if k == sel.size:
+    """Pads a selection to a `_batch_gran(m)` multiple — but never past the
+    next power of two of the real count, so small selections of expensive
+    buckets are not padded with multiples of their own work (1 matrix at
+    3073 must not run 7x the sign-iteration FLOPs). Padded entries repeat
+    the first one; callers flag them real=False."""
+    gran = _batch_gran(m)
+    k = min(_round_up(sel.size, gran), 1 << (sel.size - 1).bit_length())
+    if k <= sel.size:
         return sel
     return np.concatenate([sel, np.full(k - sel.size, sel[0], sel.dtype)])
 
@@ -387,7 +391,9 @@ def eigh_spectral_dc(
 
     Args:
         matrices: (..., n, n) fp32 symmetric (same n across the batch).
-        leaf_size: subproblems at or below this size go to blocked Jacobi.
+        leaf_size: subproblems at or below this size go to blocked Jacobi
+            (applied at bucket granularity: rounded up to a _BUCKET_GRAN
+            multiple, so values below 256 behave as 256).
         max_retries: split retries (at shifted quantiles) before falling back
             to the stock solver for that matrix.
         _fallback: test hook - solver used for failed matrices (default:
@@ -431,7 +437,12 @@ def eigh_spectral_dc(
         for m in sorted(groups, reverse=True):
             g = groups[m]
             k = g.m_true.shape[0]
-            if m <= leaf_size:
+            # Buckets are _BUCKET_GRAN multiples, so the effective leaf
+            # threshold is leaf_size rounded up to a bucket: a bucket whose
+            # members' true dims are all <= that goes to Jacobi whole
+            # (the batched solver is accurate at any size; leaf_size is a
+            # performance knob).
+            if m <= _round_up(leaf_size, _BUCKET_GRAN):
                 # ---- leaves: batched Jacobi + batched compose + scatter ----
                 ev, vecs = eigh_batched(g.H)  # pads sort last (ascending)
                 Vg = _compose_v(g.V, vecs)
@@ -458,7 +469,6 @@ def eigh_spectral_dc(
             )
             rank_h = rq[:k].astype(np.int64)
             quality_h = rq[k:]
-            VQ = _compose_v(g.V, Q)
 
             ok = (
                 (not _force_fail)
@@ -492,6 +502,9 @@ def eigh_spectral_dc(
             ok_idx = np.nonzero(ok)[0]
             if ok_idx.size == 0:
                 continue
+            # Composed lazily: an all-retry bucket must not pay the full
+            # (k, n, m) x (k, m, m) composition it would never use.
+            VQ = _compose_v(g.V, Q)
             child_m = {
                 True: np.array(
                     [_bucket_size(int(rank_h[j]), n) for j in ok_idx]
