@@ -31,9 +31,9 @@ def gram(flat: jax.Array, accum_dtype, allow_syrk: bool = True) -> jax.Array:
     """
     if _SYRK_ENABLED and allow_syrk:
         from kronfluence_tpu.ops.pallas.syrk import syrk, syrk_supported
-        from kronfluence_tpu.utils.platform import is_tpu_backend
+        from kronfluence_tpu.utils.platform import pallas_works
 
-        if syrk_supported(flat.shape[-1], accum_dtype) and is_tpu_backend():
+        if syrk_supported(flat.shape[-1], accum_dtype) and pallas_works():
             return syrk(flat, accum_dtype)
     return jax.lax.dot_general(
         flat,

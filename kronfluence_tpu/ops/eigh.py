@@ -435,9 +435,9 @@ def eigh_batched(
     # large batches of large matrices are processed in chunks.
     budget_elems = 64_000_000  # ~2 GB fp32 across the ~8-tensor live set
     chunk = max(1, min(A.shape[0], budget_elems // (n * n)))
-    from kronfluence_tpu.utils.platform import is_tpu_backend
+    from kronfluence_tpu.utils.platform import pallas_works
 
-    use_pallas = is_tpu_backend()
+    use_pallas = pallas_works()
     ev_parts, vec_parts = [], []
     for start in range(0, A.shape[0], chunk):
         ev, vec = _padded_blocked_eigh(

@@ -162,9 +162,9 @@ def jacobi_pivot_rotations(
     if eps is None:
         eps = float(jnp.finfo(jnp.float32).eps)
     if interpret is None:
-        from kronfluence_tpu.utils.platform import is_tpu_backend
+        from kronfluence_tpu.utils.platform import pallas_works
 
-        interpret = not is_tpu_backend()
+        interpret = not pallas_works()
 
     yt = min(batch_tile, y)
     y_pad = int(math.ceil(y / yt) * yt)

@@ -33,6 +33,38 @@ def is_tpu_backend() -> bool:
         return False
 
 
+_PALLAS_WORKS: Optional[bool] = None
+
+
+def pallas_works() -> bool:
+    """Whether compiled (non-interpret) Pallas kernels actually run on this
+    backend — probed once per process with a trivial kernel and cached.
+
+    Tunneled TPU plugins may report TPU hardware without supporting the
+    Mosaic compilation path; production Pallas dispatch (syrk gram, Jacobi
+    pivot solve) must fall back to plain XLA rather than fail mid-stage."""
+    global _PALLAS_WORKS
+    if _PALLAS_WORKS is None:
+        if not is_tpu_backend():
+            _PALLAS_WORKS = False
+        else:
+            try:
+                import jax.numpy as jnp
+                from jax.experimental import pallas as pl
+
+                def _copy(src, dst):
+                    dst[:] = src[:] + 1.0
+
+                out = pl.pallas_call(
+                    _copy,
+                    out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                )(jnp.zeros((8, 128), jnp.float32))
+                _PALLAS_WORKS = bool(float(out[0, 0]) == 1.0)
+            except Exception:
+                _PALLAS_WORKS = False
+    return _PALLAS_WORKS
+
+
 def enable_persistent_cache(path: Optional[str] = None) -> None:
     """Enables the on-disk XLA compilation cache (idempotent).
 
