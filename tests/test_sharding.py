@@ -157,3 +157,32 @@ def test_factor_state_sharded_over_model_axis(problem):
                 assert arr.sharding.spec == P(MODEL_AXIS), (name, arr.sharding.spec)
                 checked_distributed += 1
     assert checked_distributed >= 1
+
+
+def test_meshed_covariance_never_dispatches_pallas_syrk(problem, monkeypatch):
+    """Under a sharded mesh the covariance step must use the XLA dot even when
+    Pallas is available (pallas_call has no SPMD partitioning rule): with
+    pallas_works forced True and syrk made to explode, a meshed fit must
+    succeed and a single-device fit of a wide-enough layer would have
+    dispatched (guarded by the unit check below)."""
+    from kronfluence_tpu.ops import covariance as cov_ops
+    from kronfluence_tpu.ops.pallas import syrk as syrk_mod
+    from kronfluence_tpu.utils import platform as platform_mod
+
+    model, params, task, train, query, args = problem
+
+    def exploding_syrk(*a, **k):
+        raise AssertionError("pallas syrk dispatched under a sharded mesh")
+
+    monkeypatch.setattr(platform_mod, "pallas_works", lambda: True)
+    monkeypatch.setattr(syrk_mod, "syrk", exploding_syrk)
+    # Force the width gate open so only the allow_syrk mesh guard stands.
+    monkeypatch.setattr(syrk_mod, "syrk_supported", lambda *a, **k: True)
+
+    mesh = make_mesh(data=8)
+    fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(train, 4), args, mesh=mesh
+    )
+    # Sanity: the same monkeypatched state WOULD dispatch without the guard.
+    with pytest.raises(AssertionError, match="sharded mesh"):
+        cov_ops.gram(jnp.ones((8, 2048), jnp.float32), jnp.float32)
