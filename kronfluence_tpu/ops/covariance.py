@@ -30,10 +30,13 @@ def gram(flat: jax.Array, accum_dtype, allow_syrk: bool = True) -> jax.Array:
             while the XLA dot partitions into per-shard matmul + all-reduce.
     """
     if _SYRK_ENABLED and allow_syrk:
-        from kronfluence_tpu.ops.pallas.syrk import syrk, syrk_supported
-        from kronfluence_tpu.utils.platform import pallas_works
+        from kronfluence_tpu.ops.pallas.syrk import (
+            syrk,
+            syrk_supported,
+            syrk_works,
+        )
 
-        if syrk_supported(flat.shape[-1], accum_dtype) and pallas_works():
+        if syrk_supported(flat.shape[-1], accum_dtype) and syrk_works():
             return syrk(flat, accum_dtype)
     return jax.lax.dot_general(
         flat,

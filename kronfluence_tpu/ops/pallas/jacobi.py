@@ -138,6 +138,41 @@ def _jacobi_kernel(s_ref, v_ref, a_scr, eps: float, unroll: int = 1):
     v_ref[:] = v
 
 
+_COMPILED_WORKS = None
+
+
+def _compiled_kernel_works() -> bool:
+    """Whether the COMPILED (non-interpret) Jacobi kernel runs correctly on
+    this backend — self-probed once per process on a tiny batch and checked
+    against the interpreter. A generic Pallas capability probe is not enough:
+    this kernel additionally needs `pltpu.roll`, scratch buffers, and a
+    revisited output block to compile under Mosaic."""
+    global _COMPILED_WORKS
+    if _COMPILED_WORKS is None:
+        from kronfluence_tpu.utils.platform import pallas_works
+
+        if not pallas_works():
+            _COMPILED_WORKS = False
+        else:
+            try:
+                import numpy as np
+
+                rng = np.random.RandomState(0)
+                base = rng.randn(2, 8, 8).astype(np.float32)
+                s = jnp.asarray(base + np.swapaxes(base, 1, 2))
+                v = np.asarray(
+                    jacobi_pivot_rotations(s, sweeps=6, interpret=False)
+                )
+                d = np.einsum("yij,yjk,ykl->yil", np.swapaxes(v, 1, 2), base + np.swapaxes(base, 1, 2), v)
+                off = d - d * np.eye(8)[None]
+                _COMPILED_WORKS = bool(
+                    np.abs(off).max() < 1e-3 * max(1.0, np.abs(d).max())
+                )
+            except Exception:
+                _COMPILED_WORKS = False
+    return _COMPILED_WORKS
+
+
 def jacobi_pivot_rotations(
     s: jax.Array,
     sweeps: int,
@@ -162,9 +197,7 @@ def jacobi_pivot_rotations(
     if eps is None:
         eps = float(jnp.finfo(jnp.float32).eps)
     if interpret is None:
-        from kronfluence_tpu.utils.platform import pallas_works
-
-        interpret = not pallas_works()
+        interpret = not _compiled_kernel_works()
 
     yt = min(batch_tile, y)
     y_pad = int(math.ceil(y / yt) * yt)

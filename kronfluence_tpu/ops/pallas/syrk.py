@@ -79,6 +79,37 @@ def syrk_supported(n: int, accum_dtype, tile_n: int = _TILE_N) -> bool:
     )
 
 
+_SYRK_WORKS = None
+
+
+def syrk_works() -> bool:
+    """Whether the compiled syrk kernel runs CORRECTLY on this backend —
+    self-probed once per process on a tiny shape and checked against the XLA
+    dot. A generic Pallas capability probe is not enough: this kernel also
+    needs scalar prefetch and revisited-output accumulation to compile."""
+    global _SYRK_WORKS
+    if _SYRK_WORKS is None:
+        from kronfluence_tpu.utils.platform import pallas_works
+
+        if not pallas_works():
+            _SYRK_WORKS = False
+        else:
+            try:
+                rows, n = 24, 4 * 128
+                a = (
+                    jnp.arange(rows * n, dtype=jnp.float32).reshape(rows, n)
+                    % 7.0
+                ) - 3.0
+                got = np.asarray(syrk(a, jnp.float32, tile_n=128, tile_k=128))
+                want = np.asarray(a).T @ np.asarray(a)
+                _SYRK_WORKS = bool(
+                    np.allclose(got, want, rtol=1e-4, atol=1e-4)
+                )
+            except Exception:
+                _SYRK_WORKS = False
+    return _SYRK_WORKS
+
+
 def syrk(
     flat: jax.Array,
     accum_dtype=jnp.float32,

@@ -176,8 +176,10 @@ def test_meshed_covariance_never_dispatches_pallas_syrk(problem, monkeypatch):
 
     monkeypatch.setattr(platform_mod, "pallas_works", lambda: True)
     monkeypatch.setattr(syrk_mod, "syrk", exploding_syrk)
-    # Force the width gate open so only the allow_syrk mesh guard stands.
+    # Force the width/capability gates open so only the allow_syrk mesh
+    # guard stands (syrk_works normally self-probes the real kernel).
     monkeypatch.setattr(syrk_mod, "syrk_supported", lambda *a, **k: True)
+    monkeypatch.setattr(syrk_mod, "syrk_works", lambda: True)
 
     mesh = make_mesh(data=8)
     fit_covariance_matrices_with_loader(
