@@ -69,11 +69,13 @@ QUERY_BATCH = _env("QUERY_BATCH", 8)
 QUERY_ACC = _env("QUERY_ACC", 7)  # accumulation steps -> block = BATCH * ACC
 TRAIN_BATCH = _env("TRAIN_BATCH", 16)
 N_QUERY = max(N_QUERY, QUERY_BATCH * QUERY_ACC)
-# KRON_BENCH_FIDELITY=1: after the timed bf16 run, score one query block in
+# KRON_BENCH_FIDELITY: after the timed bf16 run, score one query block in
 # BOTH the bf16 recipe and full fp32 and report Pearson/Spearman correlation
 # (the reference publishes 0.96 for this comparison,
-# examples/wikitext/README.md:97; round-1 VERDICT missing #5).
-FIDELITY = bool(_env("FIDELITY", 0))
+# examples/wikitext/README.md:97; round-1 VERDICT missing #5). Defaults ON
+# for the FULL driver run so every recorded bench carries its accuracy
+# certificate; QUICK tuning runs skip it.
+FIDELITY = bool(_env("FIDELITY", 0 if QUICK else 1))
 
 
 def log(msg):
