@@ -203,6 +203,13 @@ def main():
     factor_args.eigendecomposition_solver = solver
     score_args = smart_low_precision_score_arguments()
     score_args.query_gradient_accumulation_steps = QUERY_ACC
+    # KRON_BENCH_QUERY_STORAGE: store resident query blocks in this dtype
+    # (e.g. float8_e4m3fn halves the block footprint so ~2x the queries fit
+    # per block -> half the train passes; see ops/quantize.py). The fidelity
+    # mode below certifies its score correlation against fp32.
+    query_storage = os.environ.get("KRON_BENCH_QUERY_STORAGE", "") or None
+    if query_storage:
+        score_args.query_gradient_storage_dtype = query_storage
 
     def force(tree):
         jax.block_until_ready(tree)
@@ -408,6 +415,7 @@ def main():
                 "vs_baseline": round(pairs_rate / REF_PAIRS_PER_S, 3),
                 "mode": "quick_projected" if QUICK else "full_measured",
                 "model_form": MODEL_FORM,
+                "query_storage_dtype": query_storage,
                 "e2e_warm_s": round(grand, 1),
                 "e2e_cold_s": round(cold_total, 1),
                 "e2e_vs_ref_fp32": round(REF_TOTAL_S / grand, 2),

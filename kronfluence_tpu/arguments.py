@@ -145,10 +145,32 @@ class ScoreArguments(Arguments):
     per_sample_gradient_dtype: Any = "float32"
     precondition_dtype: Any = "float32"
     score_dtype: Any = "float32"
+    # TPU extension (no reference analogue): store each resident query-gradient
+    # block in this dtype with one scale per (query, module) — float8 halves
+    # the score stage's largest HBM resident vs bf16, so ~2x the queries fit
+    # per block and the train loader is re-iterated half as often (see
+    # ops/quantize.py). None keeps blocks in `score_dtype`. Ignored for blocks
+    # compressed by `query_gradient_low_rank`.
+    query_gradient_storage_dtype: Optional[Any] = None
 
     def __post_init__(self) -> None:
         if self.damping_factor is not None and self.damping_factor < 0:
             raise ValueError("`damping_factor` must be non-negative or None.")
+        if self.query_gradient_storage_dtype is not None:
+            from kronfluence_tpu.ops.quantize import STORAGE_DTYPES
+            from kronfluence_tpu.utils.dtypes import resolve_dtype
+
+            import jax.numpy as jnp
+
+            try:
+                dt = str(jnp.dtype(resolve_dtype(self.query_gradient_storage_dtype)))
+            except Exception:
+                dt = str(self.query_gradient_storage_dtype)
+            if dt not in STORAGE_DTYPES:
+                raise ValueError(
+                    "`query_gradient_storage_dtype` must be one of "
+                    f"{STORAGE_DTYPES} or None, got {self.query_gradient_storage_dtype!r}."
+                )
         for name in ("data_partitions", "module_partitions", "query_gradient_accumulation_steps"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"`{name}` must be positive.")

@@ -32,6 +32,7 @@ from kronfluence_tpu.capture.engine import capture
 from kronfluence_tpu.factor.config import get_factor_config
 from kronfluence_tpu.factor.covariance import cast_params, discover_stage_specs, train_loss_forward
 from kronfluence_tpu.ops.flatten import activation_tokens_with_bias, gradient_tokens
+from kronfluence_tpu.ops.quantize import dequantize_gradient, quantize_gradient
 from kronfluence_tpu.ops.scores import pairwise_score
 from kronfluence_tpu.ops.svd import lowrank_factors_full, lowrank_factors_randomized
 from kronfluence_tpu.parallel.mesh import device_prefetch, replicated, shard_batch
@@ -63,6 +64,11 @@ def _build_query_step(model, task, tracked, score_args, strategy, mesh=None):
     score_dtype = resolve_dtype(score_args.score_dtype)
     rank = score_args.query_gradient_low_rank
     use_full_svd = score_args.use_full_svd
+    storage_dtype = (
+        resolve_dtype(score_args.query_gradient_storage_dtype)
+        if score_args.query_gradient_storage_dtype is not None
+        else None
+    )
 
     amp_dtype = score_args.amp_dtype
     remat = score_args.offload_activations_to_cpu
@@ -85,6 +91,8 @@ def _build_query_step(model, task, tracked, score_args, strategy, mesh=None):
                     out[name] = lowrank_factors_full(psg, rank, score_dtype)
                 else:
                     out[name] = lowrank_factors_randomized(psg, rank, score_dtype, rng)
+            elif storage_dtype is not None:
+                out[name] = quantize_gradient(psg, storage_dtype)
             else:
                 out[name] = psg.astype(score_dtype)
         return out
@@ -104,6 +112,7 @@ def _make_train_apply(model, task, tracked, score_args, per_module):
 
     def _chunk_score_psg(train_psg, pg):
         """Score slab against materialized train per-sample gradients."""
+        pg = dequantize_gradient(pg, psg_dtype)
         if isinstance(pg, tuple):
             left, right = pg
             return jnp.einsum(
@@ -116,7 +125,11 @@ def _make_train_apply(model, task, tracked, score_args, per_module):
         ).astype(score_dtype)
 
     def _chunk_score(cap, name, valid, pg):
-        """Score slab (q_chunk, b[, t]) for one preconditioned query chunk."""
+        """Score slab (q_chunk, b[, t]) for one preconditioned query chunk.
+
+        Quantized chunks are dequantized here, per module: only one module's
+        dense block is transiently live, preserving the storage saving."""
+        pg = dequantize_gradient(pg, psg_dtype)
         if post_process:
             # Post-processed train gradients must be materialized
             # (reference: pairwise_score.py:95-103), for BOTH dense and
@@ -242,6 +255,22 @@ def compute_pairwise_scores_with_loaders(
 
     score_args = score_args or ScoreArguments()
     profiler = profiler or PassThroughProfiler()
+    if (
+        score_args.query_gradient_storage_dtype is not None
+        and str(score_args.query_gradient_storage_dtype).startswith("float8")
+        and score_args.damping_factor is not None
+        and score_args.damping_factor < 1e-6
+    ):
+        import logging
+
+        logging.getLogger("kronfluence_tpu").warning(
+            "float8 query-gradient storage with damping_factor=%g: near-zero "
+            "damping inflates preconditioned gradients and the score inner "
+            "products cancel heavily, amplifying float8's ~3%% element noise. "
+            "Prefer damping_factor=None (heuristic) or certify fidelity "
+            "against a full-precision run.",
+            score_args.damping_factor,
+        )
     tracked_names = tracked_names if tracked_names is not None else model.tracked_names
     per_module = score_args.compute_per_module_scores
     psg_dtype = resolve_dtype(score_args.per_sample_gradient_dtype)
@@ -447,6 +476,7 @@ def _aggregated_train_pass(
     @jax.jit
     def contract(query_block, total):
         def one(pg, summed):
+            pg = dequantize_gradient(pg, psg_dtype)
             if isinstance(pg, tuple):
                 left, right = pg
                 return jnp.einsum(

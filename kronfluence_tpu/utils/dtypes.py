@@ -16,6 +16,10 @@ _CANONICAL = {
     "bfloat16": jnp.bfloat16,
     "float32": jnp.float32,
     "float64": jnp.float64,
+    # Storage-only formats for query-gradient blocks (ops/quantize.py); the
+    # reference has no analogue (torch fp8 postdates it).
+    "float8_e4m3fn": jnp.float8_e4m3fn,
+    "float8_e5m2": jnp.float8_e5m2,
     "int32": jnp.int32,
     "int64": jnp.int64,
 }

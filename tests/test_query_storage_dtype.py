@@ -1,0 +1,177 @@
+"""Scaled low-precision query-block storage (`query_gradient_storage_dtype`).
+
+TPU extension with no reference analogue: the pairwise stage's resident query
+block is stored in float8 with one scale per (query, module), halving the
+stage's largest HBM resident (ops/quantize.py). These tests check the
+quantization op's error bounds, that the plumbing flows through every score
+path (hoisted, per-token, post-process, aggregated-train, accumulation), and
+that fp8-stored scores stay highly correlated with exact ones — the same kind
+of certificate the reference publishes for its bf16 recipe
+(reference examples/wikitext/README.md:97).
+
+Fidelity caveat, by design: scores are inner products with heavy cancellation
+when factors are near-singular and damping is tiny; fp8's ~3% per-element
+noise is then amplified. The pipeline tests therefore run the realistic
+heuristic damping (damping_factor=None -> 0.1 * mean eigenvalue, reference
+utils/constants.py:22) rather than the 1e-8 used by the exact-parity tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kronfluence_tpu.arguments import ScoreArguments
+from kronfluence_tpu.ops.quantize import (
+    QuantizedGradient,
+    dequantize_gradient,
+    quantize_gradient,
+)
+from kronfluence_tpu.score.pairwise import compute_pairwise_scores_with_loaders
+from kronfluence_tpu.utils.constants import ALL_MODULE_NAME
+from kronfluence_tpu.utils.dataset import BatchLoader
+
+from tests.test_scores import FP64_SCORE, _fit_factors
+from tests.testable_tasks.regression import (
+    RegressionTask,
+    make_mlp,
+    make_regression_data,
+)
+
+
+def _pearson(a, b):
+    a, b = np.ravel(a), np.ravel(b)
+    return float(np.corrcoef(a, b)[0, 1])
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model, params, task = make_mlp()
+    train = make_regression_data(40, seed=0)
+    query = make_regression_data(5, seed=1)
+    factors, factor_args = _fit_factors(model, params, task, train)
+    return model, params, task, train, query, factors, factor_args
+
+
+def _scores(setup_tuple, task=None, qbs=4, tbs=5, **score_kwargs):
+    model, params, default_task, train, query, factors, factor_args = setup_tuple
+    score_args = ScoreArguments(damping_factor=None, **FP64_SCORE, **score_kwargs)
+    return compute_pairwise_scores_with_loaders(
+        model, params, task or default_task,
+        BatchLoader(query, qbs), BatchLoader(train, tbs),
+        factors, factor_args, score_args,
+    )
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    # Wildly varying magnitudes across queries: per-query scaling must absorb
+    # them (a single global scale would crush the small-magnitude queries).
+    psg = rng.normal(size=(4, 6, 7)).astype(np.float32)
+    psg *= np.asarray([1e-6, 1e-2, 1.0, 1e4], np.float32)[:, None, None]
+    q = quantize_gradient(jnp.asarray(psg), jnp.float8_e4m3fn)
+    assert q.data.dtype == jnp.float8_e4m3fn
+    assert q.scale.shape == (4, 1, 1)
+    back = np.asarray(q.dequantize(jnp.float32))
+    # e4m3 keeps ~3 mantissa bits -> relative error <= 2^-3 per element, and
+    # per-query scaling makes the bound magnitude-independent.
+    rel = np.abs(back - psg) / np.maximum(np.abs(psg), 1e-30)
+    assert rel.max() < 0.0725, rel.max()
+
+
+def test_quantize_zero_block_is_exact():
+    q = quantize_gradient(jnp.zeros((2, 3, 3), jnp.float32), jnp.float8_e4m3fn)
+    assert np.asarray(q.scale).tolist() == [[[1.0]], [[1.0]]]
+    np.testing.assert_array_equal(np.asarray(q.dequantize(jnp.float32)), 0.0)
+
+
+def test_dequantize_passthrough_for_plain_values():
+    x = jnp.ones((2, 2))
+    assert dequantize_gradient(x, jnp.float32) is x
+    pair = (jnp.ones((1, 2, 3)), jnp.ones((1, 3, 4)))
+    assert dequantize_gradient(pair, jnp.float32) is pair
+
+
+def test_quantized_gradient_is_a_pytree():
+    q = quantize_gradient(jnp.ones((2, 3, 3), jnp.float32), jnp.float8_e4m3fn)
+    leaves, treedef = jax.tree_util.tree_flatten(q)
+    assert len(leaves) == 2
+    rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert isinstance(rebuilt, QuantizedGradient)
+    out = jax.jit(lambda g: g.dequantize(jnp.float32).sum())(q)
+    assert np.isfinite(float(out))
+
+
+def test_invalid_storage_dtype_rejected():
+    with pytest.raises(ValueError, match="query_gradient_storage_dtype"):
+        ScoreArguments(query_gradient_storage_dtype="int8")
+
+
+def test_fp8_scores_track_exact_scores(setup):
+    exact = _scores(setup)[ALL_MODULE_NAME]
+    fp8 = _scores(setup, query_gradient_storage_dtype="float8_e4m3fn")[ALL_MODULE_NAME]
+    assert fp8.shape == exact.shape
+    assert _pearson(exact, fp8) > 0.99
+    rel = np.linalg.norm(fp8 - exact) / np.linalg.norm(exact)
+    assert rel < 0.1, rel
+
+
+def test_bf16_storage_is_tighter_than_fp8(setup):
+    exact = _scores(setup)[ALL_MODULE_NAME]
+    bf16 = _scores(setup, query_gradient_storage_dtype="bfloat16")[ALL_MODULE_NAME]
+    fp8 = _scores(setup, query_gradient_storage_dtype="float8_e4m3fn")[ALL_MODULE_NAME]
+    err = lambda x: np.linalg.norm(x - exact) / np.linalg.norm(exact)
+    assert err(bf16) < err(fp8)
+    assert err(bf16) < 0.01, err(bf16)
+
+
+def test_fp8_storage_with_accumulation_and_per_token(setup):
+    """Accumulated blocks hold a list of quantized chunks; the per-token path
+    consumes them through _chunk_score rather than the hoisted-psg path."""
+    exact = _scores(
+        setup, qbs=2,
+        query_gradient_accumulation_steps=2, compute_per_token_scores=True,
+    )[ALL_MODULE_NAME]
+    fp8 = _scores(
+        setup, qbs=2,
+        query_gradient_accumulation_steps=2, compute_per_token_scores=True,
+        query_gradient_storage_dtype="float8_e4m3fn",
+    )[ALL_MODULE_NAME]
+    assert fp8.shape == exact.shape
+    assert _pearson(exact, fp8) > 0.99
+
+
+def test_fp8_storage_with_post_process(setup):
+    class ScaledTask(RegressionTask):
+        enable_post_process_per_sample_gradient = True
+
+        def post_process_per_sample_gradient(self, module_name, gradient):
+            return gradient * 2.0
+
+    scaled = ScaledTask()
+    exact = _scores(setup, task=scaled)[ALL_MODULE_NAME]
+    fp8 = _scores(
+        setup, task=scaled, query_gradient_storage_dtype="float8_e4m3fn"
+    )[ALL_MODULE_NAME]
+    assert _pearson(exact, fp8) > 0.99
+
+
+def test_fp8_storage_with_aggregated_train(setup):
+    exact = _scores(setup, aggregate_train_gradients=True)[ALL_MODULE_NAME]
+    fp8 = _scores(
+        setup, aggregate_train_gradients=True,
+        query_gradient_storage_dtype="float8_e4m3fn",
+    )[ALL_MODULE_NAME]
+    assert fp8.shape == exact.shape
+    assert _pearson(exact, fp8) > 0.99
+
+
+def test_low_rank_ignores_storage_dtype(setup):
+    """Low-rank compression takes precedence; storage dtype must not break it."""
+    lr = _scores(
+        setup,
+        query_gradient_low_rank=2, use_full_svd=True,
+        query_gradient_storage_dtype="float8_e4m3fn",
+    )[ALL_MODULE_NAME]
+    exact = _scores(setup)[ALL_MODULE_NAME]
+    assert _pearson(exact, lr) > 0.9
