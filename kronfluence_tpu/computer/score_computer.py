@@ -57,6 +57,18 @@ class ScoreComputer(Computer):
                 "post-processing; falling back to per-sequence scores."
             )
             score_args = dataclasses.replace(score_args, compute_per_token_scores=False)
+        if score_args.query_gradient_storage_dtype is not None and (
+            score_args.aggregate_query_gradients
+            or score_args.query_gradient_low_rank is not None
+        ):
+            self.logger.warning(
+                "query_gradient_storage_dtype is ignored for aggregated or "
+                "low-rank query gradients (those blocks are already small); "
+                "proceeding without quantized storage."
+            )
+            score_args = dataclasses.replace(
+                score_args, query_gradient_storage_dtype=None
+            )
         return score_args
 
     def compute_pairwise_scores(

@@ -166,6 +166,29 @@ def test_fp8_storage_with_aggregated_train(setup):
     assert _pearson(exact, fp8) > 0.99
 
 
+def test_computer_strips_storage_dtype_for_aggregated_or_low_rank(tmp_path):
+    """Analyzer-level flag validation: storage dtype is dropped (with a
+    warning) when the block is already small (aggregated / low-rank)."""
+    from kronfluence_tpu import Analyzer
+
+    model, params, task = make_mlp()
+    analyzer = Analyzer("strip", model, task, params=params, output_dir=str(tmp_path))
+    for kw in (
+        dict(aggregate_query_gradients=True),
+        dict(query_gradient_low_rank=2),
+    ):
+        args = ScoreArguments(query_gradient_storage_dtype="float8_e4m3fn", **kw)
+        validated = analyzer._validate_pairwise_flags(args)
+        assert validated.query_gradient_storage_dtype is None
+        # Caller's arguments never mutated.
+        assert args.query_gradient_storage_dtype == "float8_e4m3fn"
+    plain = ScoreArguments(query_gradient_storage_dtype="float8_e4m3fn")
+    assert (
+        analyzer._validate_pairwise_flags(plain).query_gradient_storage_dtype
+        == "float8_e4m3fn"
+    )
+
+
 def test_low_rank_ignores_storage_dtype(setup):
     """Low-rank compression takes precedence; storage dtype must not break it."""
     lr = _scores(
