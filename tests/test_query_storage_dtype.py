@@ -166,6 +166,27 @@ def test_fp8_storage_with_aggregated_train(setup):
     assert _pearson(exact, fp8) > 0.99
 
 
+def test_fp8_storage_through_scanned_train_loop(setup):
+    """Device-resident train stores route through the lax.scan superstep
+    (utils/scan_loop.py — the bench's path); quantized blocks must flow
+    through it as jit arguments identically to the per-batch path."""
+    model, params, task, train, query, factors, factor_args = setup
+    dev_train = {k: jnp.asarray(v) for k, v in train.items()}
+    score_args = ScoreArguments(
+        damping_factor=None, query_gradient_storage_dtype="float8_e4m3fn",
+        **FP64_SCORE,
+    )
+    scanned = compute_pairwise_scores_with_loaders(
+        model, params, task,
+        BatchLoader(query, 4), BatchLoader(dev_train, 5),
+        factors, factor_args, score_args,
+    )[ALL_MODULE_NAME]
+    per_batch = _scores(setup, query_gradient_storage_dtype="float8_e4m3fn")[
+        ALL_MODULE_NAME
+    ]
+    np.testing.assert_allclose(scanned, per_batch, rtol=1e-6, atol=1e-8)
+
+
 def test_computer_strips_storage_dtype_for_aggregated_or_low_rank(tmp_path):
     """Analyzer-level flag validation: storage dtype is dropped (with a
     warning) when the block is already small (aggregated / low-rank)."""
