@@ -82,10 +82,47 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _require_reachable_devices(timeout_s: float = 600.0):
+    """Fails fast (with a diagnosable JSON line) when the accelerator is
+    unreachable. On this environment's tunneled TPU a dead tunnel makes
+    jax.devices() hang FOREVER — a clear error beats a silent wedge of the
+    whole bench run."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        out["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(
+            json.dumps(
+                {
+                    "metric": "gpt2_wikitext_ekfac_pairwise_throughput",
+                    "value": None,
+                    "unit": "pairs/sec/chip",
+                    "vs_baseline": None,
+                    "error": f"accelerator unreachable: jax.devices() did not "
+                    f"return within {timeout_s:.0f}s (TPU tunnel down?)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+    return out["devices"]
+
+
 def main():
     from kronfluence_tpu.utils.platform import enable_persistent_cache
 
     enable_persistent_cache(os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+    _require_reachable_devices()
 
     import jax
     import jax.numpy as jnp

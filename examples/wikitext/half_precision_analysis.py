@@ -43,6 +43,8 @@ def parse_args():
     parser.add_argument("--num_query", type=int, default=16)
     parser.add_argument("--train_batch_size", type=int, default=16)
     parser.add_argument("--real", action="store_true")
+    parser.add_argument("--fp8_storage", action="store_true",
+                        help="also certify the float8 query-block storage recipe")
     parser.add_argument("--output_dir", default="./influence_results/wikitext_hp")
     return parser.parse_args()
 
@@ -82,6 +84,15 @@ def main():
             all_low_precision_score_arguments(),
         ),
     }
+    if args.fp8_storage:
+        # bf16 recipe + float8 storage of the resident query block (TPU
+        # extension, ops/quantize.py): same pipeline precision, half the
+        # query-block HBM. Heuristic damping (the low-precision presets'
+        # default) is the intended regime — see the storage-dtype docs.
+        fa8 = all_low_precision_factor_arguments(strategy="ekfac")
+        sa8 = all_low_precision_score_arguments()
+        sa8.query_gradient_storage_dtype = "float8_e4m3fn"
+        recipes["bf16+fp8qs"] = (fa8, sa8)
     scores = {}
     for name, (fa, sa) in recipes.items():
         analyzer.fit_all_factors(
@@ -99,14 +110,20 @@ def main():
         ].astype(np.float64)
         analyzer.release_memory()
 
-    a, b = scores["fp32"], scores["bf16"]
-    pearson = float(np.corrcoef(a.ravel(), b.ravel())[0, 1])
-    rho = spearman(a, b)
-    print(f"\nfp32 vs bf16 pairwise scores over {a.shape[0]} queries x {a.shape[1]} train:")
-    print(f"  Pearson  (flattened): {pearson:.4f}")
-    print(f"  Spearman (per-query mean): {rho:.4f}")
-    print(f"  reference published: 0.96 (examples/wikitext/README.md:97)")
-    return pearson, rho
+    a = scores["fp32"]
+    results = {}
+    for name in scores:
+        if name == "fp32":
+            continue
+        b = scores[name]
+        pearson = float(np.corrcoef(a.ravel(), b.ravel())[0, 1])
+        rho = spearman(a, b)
+        results[name] = (pearson, rho)
+        print(f"\nfp32 vs {name} pairwise scores over {a.shape[0]} queries x {a.shape[1]} train:")
+        print(f"  Pearson  (flattened): {pearson:.4f}")
+        print(f"  Spearman (per-query mean): {rho:.4f}")
+    print(f"  reference published (bf16): 0.96 (examples/wikitext/README.md:97)")
+    return results["bf16"]
 
 
 if __name__ == "__main__":
