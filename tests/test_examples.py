@@ -65,7 +65,7 @@ EXAMPLES = {
     "examples.wikitext.half_precision_analysis": [
         "--num_layers", "1", "--d_model", "32", "--num_heads", "2",
         "--seq_len", "16", "--vocab", "64", "--num_train", "16",
-        "--num_query", "4", "--train_batch_size", "8",
+        "--num_query", "4", "--train_batch_size", "8", "--fp8_storage",
     ],
     "examples.wikitext.tokenwise_analysis": [
         "--num_layers", "1", "--d_model", "32", "--num_heads", "2",
