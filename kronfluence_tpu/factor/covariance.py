@@ -103,12 +103,13 @@ def discover_stage_specs(
 
 def _make_covariance_update(
     model, task, tracked_key_, act_dtype, grad_dtype, sample,
-    amp_dtype=None, remat=False, amp_scale=None, allow_syrk=True,
+    amp_dtype=None, remat=False, amp_scale=None, mesh=None,
 ):
     """Pure per-batch update shared by the jitted step and the scanned loop.
 
-    `allow_syrk=False` for meshed (SPMD-sharded) steps: the Pallas syrk
-    kernel has no partitioning rule, so the XLA dot must be used there.
+    Meshed (SPMD-sharded) steps pass `mesh` so the Pallas syrk kernel routes
+    through shard_map (per-data-shard syrk + psum) — a bare pallas_call has
+    no partitioning rule and would force an all-gather of the sharded rows.
     """
     act_accum = accumulation_dtype(act_dtype)
     grad_accum = accumulation_dtype(grad_dtype)
@@ -138,8 +139,7 @@ def _make_covariance_update(
                         spec, a, att, valid, act_dtype
                     )
                     a_gram = bordered_gram(
-                        a2, count_a, spec.has_bias, act_accum,
-                        allow_syrk=allow_syrk,
+                        a2, count_a, spec.has_bias, act_accum, mesh=mesh,
                     )
                 mod_state[ACTIVATION_COVARIANCE_MATRIX_NAME] += a_gram
                 mod_state[NUM_ACTIVATION_COVARIANCE_PROCESSED] += count_a.astype(
@@ -147,7 +147,7 @@ def _make_covariance_update(
                 )
                 g_flat, count_g = flatten_gradient(spec, dy, att, valid, grad_dtype)
                 mod_state[GRADIENT_COVARIANCE_MATRIX_NAME] += gram(
-                    g_flat, grad_accum, allow_syrk=allow_syrk
+                    g_flat, grad_accum, mesh=mesh
                 )
                 mod_state[NUM_GRADIENT_COVARIANCE_PROCESSED] += count_g.astype(
                     mod_state[NUM_GRADIENT_COVARIANCE_PROCESSED].dtype
@@ -163,7 +163,7 @@ def _build_covariance_step(
 ):
     update = _make_covariance_update(
         model, task, tracked_key_, act_dtype, grad_dtype, sample,
-        amp_dtype, remat, amp_scale, allow_syrk=mesh is None,
+        amp_dtype, remat, amp_scale, mesh=mesh,
     )
     return partial(jax.jit, donate_argnums=(0,), out_shardings=out_shardings)(update)
 

@@ -16,7 +16,9 @@ import jax.numpy as jnp
 _SYRK_ENABLED = os.environ.get("KRON_SYRK", "1") != "0"
 
 
-def gram(flat: jax.Array, accum_dtype, allow_syrk: bool = True) -> jax.Array:
+def gram(
+    flat: jax.Array, accum_dtype, allow_syrk: bool = True, mesh=None
+) -> jax.Array:
     """Returns `flat^T @ flat` with the requested accumulation dtype.
 
     Wide operands on TPU route through the Pallas syrk kernel
@@ -24,10 +26,13 @@ def gram(flat: jax.Array, accum_dtype, allow_syrk: bool = True) -> jax.Array:
     symmetric result (~0.55x the MXU FLOPs of XLA's full product).
 
     Args:
-        allow_syrk: callers running under a sharded mesh must pass False —
-            a pallas_call has no SPMD partitioning rule, so the partitioner
-            would all-gather the row-sharded operand onto every device,
-            while the XLA dot partitions into per-shard matmul + all-reduce.
+        allow_syrk: permits the Pallas kernel (A/B escape hatch).
+        mesh: when the caller's rows are sharded over a device mesh, the
+            kernel cannot be dispatched directly — a pallas_call has no SPMD
+            partitioning rule, so the partitioner would all-gather the
+            row-sharded operand onto every device. Passing the mesh routes
+            it through shard_map instead: per-data-shard syrk + psum, the
+            same decomposition the partitioner gives the XLA dot.
     """
     if _SYRK_ENABLED and allow_syrk:
         from kronfluence_tpu.ops.pallas.syrk import (
@@ -37,7 +42,11 @@ def gram(flat: jax.Array, accum_dtype, allow_syrk: bool = True) -> jax.Array:
         )
 
         if syrk_supported(flat.shape[-1], accum_dtype) and syrk_works():
-            return syrk(flat, accum_dtype)
+            if mesh is None:
+                return syrk(flat, accum_dtype)
+            spmd = _syrk_psum(flat, accum_dtype, mesh)
+            if spmd is not None:
+                return spmd
     return jax.lax.dot_general(
         flat,
         flat,
@@ -46,8 +55,34 @@ def gram(flat: jax.Array, accum_dtype, allow_syrk: bool = True) -> jax.Array:
     )
 
 
+def _syrk_psum(flat: jax.Array, accum_dtype, mesh):
+    """Per-data-shard Pallas syrk + psum via shard_map (None if rows do not
+    divide the data axis — the partitioned XLA dot handles that case)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from kronfluence_tpu.ops.pallas import syrk as syrk_mod
+    from kronfluence_tpu.parallel.mesh import DATA_AXIS
+
+    n_data = mesh.shape[DATA_AXIS]
+    if flat.shape[0] % n_data != 0:
+        return None
+
+    def per_shard(f):
+        return jax.lax.psum(syrk_mod.syrk(f, accum_dtype), DATA_AXIS)
+
+    return shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=P(DATA_AXIS, None),
+        out_specs=P(None, None),
+        check_rep=False,
+    )(flat)
+
+
 def bordered_gram(
-    a2: jax.Array, count, has_bias: bool, accum_dtype, allow_syrk: bool = True
+    a2: jax.Array, count, has_bias: bool, accum_dtype,
+    allow_syrk: bool = True, mesh=None,
 ):
     """Gram of a masked activation with the bias ones-column assembled as an
     analytic border instead of a materialized concat.
@@ -58,7 +93,7 @@ def bordered_gram(
     preserves 128-lane alignment (768/3072 rather than 769/3073) for the
     MXU/syrk tiling.
     """
-    G = gram(a2, accum_dtype, allow_syrk=allow_syrk)
+    G = gram(a2, accum_dtype, allow_syrk=allow_syrk, mesh=mesh)
     if not has_bias:
         return G
     col = jnp.sum(a2.astype(accum_dtype), axis=0)[:, None]

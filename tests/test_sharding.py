@@ -159,32 +159,85 @@ def test_factor_state_sharded_over_model_axis(problem):
     assert checked_distributed >= 1
 
 
-def test_meshed_covariance_never_dispatches_pallas_syrk(problem, monkeypatch):
-    """Under a sharded mesh the covariance step must use the XLA dot even when
-    Pallas is available (pallas_call has no SPMD partitioning rule): with
-    pallas_works forced True and syrk made to explode, a meshed fit must
-    succeed and a single-device fit of a wide-enough layer would have
-    dispatched (guarded by the unit check below)."""
+def test_meshed_covariance_routes_syrk_through_shard_map(problem, monkeypatch):
+    """Under a sharded mesh the syrk kernel must run INSIDE shard_map on
+    per-data-shard rows + psum (a bare pallas_call has no SPMD partitioning
+    rule and would all-gather the sharded operand). With the capability gates
+    forced open and syrk faked as a shape-recording dot, a meshed fit must
+    (a) call the kernel on per-shard row counts and (b) reproduce the
+    single-device factors exactly."""
     from kronfluence_tpu.ops import covariance as cov_ops
     from kronfluence_tpu.ops.pallas import syrk as syrk_mod
     from kronfluence_tpu.utils import platform as platform_mod
+    from kronfluence_tpu.utils.constants import (
+        ACTIVATION_COVARIANCE_MATRIX_NAME,
+        GRADIENT_COVARIANCE_MATRIX_NAME,
+    )
 
-    model, params, task, train, query, args = problem
+    # Fresh model: jitted steps are identity-cached on the model, and the
+    # module-scoped fixture's steps were traced before the monkeypatch.
+    model, params, task = make_mlp()
+    _, _, _, train, query, args = problem
+    shapes = []
 
-    def exploding_syrk(*a, **k):
-        raise AssertionError("pallas syrk dispatched under a sharded mesh")
+    def fake_syrk(flat, accum_dtype, **kw):
+        shapes.append(tuple(flat.shape))
+        return jax.lax.dot_general(
+            flat, flat, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=accum_dtype,
+        )
 
     monkeypatch.setattr(platform_mod, "pallas_works", lambda: True)
-    monkeypatch.setattr(syrk_mod, "syrk", exploding_syrk)
-    # Force the width/capability gates open so only the allow_syrk mesh
-    # guard stands (syrk_works normally self-probes the real kernel).
+    monkeypatch.setattr(syrk_mod, "syrk", fake_syrk)
     monkeypatch.setattr(syrk_mod, "syrk_supported", lambda *a, **k: True)
     monkeypatch.setattr(syrk_mod, "syrk_works", lambda: True)
 
-    mesh = make_mesh(data=8)
-    fit_covariance_matrices_with_loader(
-        model, params, task, BatchLoader(train, 4), args, mesh=mesh
+    single = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(train, 8), args
     )
-    # Sanity: the same monkeypatched state WOULD dispatch without the guard.
-    with pytest.raises(AssertionError, match="sharded mesh"):
-        cov_ops.gram(jnp.ones((8, 2048), jnp.float32), jnp.float32)
+    single_shapes, shapes[:] = list(shapes), []
+
+    mesh = make_mesh(data=8)
+    sharded = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(train, 8), args, mesh=mesh
+    )
+    # Kernel saw per-shard rows: 1/8th of the single-device row counts.
+    assert shapes and single_shapes
+    assert {s[1] for s in shapes} == {s[1] for s in single_shapes}
+    assert all(s[0] == ss[0] // 8 for s, ss in zip(sorted(shapes), sorted(single_shapes)))
+    for factor in (ACTIVATION_COVARIANCE_MATRIX_NAME, GRADIENT_COVARIANCE_MATRIX_NAME):
+        for name, arr in sharded[factor].items():
+            np.testing.assert_allclose(
+                np.asarray(arr), np.asarray(single[factor][name]),
+                rtol=1e-12, atol=1e-12, err_msg=name,
+            )
+
+    # Rows that do not divide the data axis fall back to the XLA dot (no
+    # shard_map requirement violation): 6 rows over 8 shards.
+    shapes[:] = []
+    with mesh:
+        out = cov_ops.gram(jnp.ones((6, 16), jnp.float32), jnp.float32, mesh=mesh)
+    assert shapes == [] and out.shape == (16, 16)
+
+
+def test_real_syrk_kernel_executes_inside_shard_map(monkeypatch):
+    """The actual Pallas triangle kernel (interpret mode on CPU) must trace
+    and execute inside shard_map — the production TPU path for meshed
+    covariance grams."""
+    import functools
+
+    from kronfluence_tpu.ops import covariance as cov_ops
+    from kronfluence_tpu.ops.pallas import syrk as syrk_mod
+
+    monkeypatch.setattr(
+        syrk_mod, "syrk", functools.partial(syrk_mod.syrk, interpret=True)
+    )
+    monkeypatch.setattr(syrk_mod, "syrk_supported", lambda *a, **k: True)
+    monkeypatch.setattr(syrk_mod, "syrk_works", lambda: True)
+
+    rng = np.random.default_rng(0)
+    flat = jnp.asarray(rng.standard_normal((16, 512)), jnp.float32)
+    mesh = make_mesh(data=8)
+    got = np.asarray(cov_ops.gram(flat, jnp.float32, mesh=mesh))
+    want = np.asarray(flat).T @ np.asarray(flat)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
