@@ -238,6 +238,7 @@ class ScoreComputer(Computer):
             aggregate_query_gradients=False,
             aggregate_train_gradients=False,
             compute_per_token_scores=False,
+            query_gradient_storage_dtype=None,  # no resident query block
         )
 
         scores_dir = self.scores_output_dir(scores_name)
