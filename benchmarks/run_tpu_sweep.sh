@@ -35,5 +35,8 @@ step "micro_conv" python benchmarks/micro_conv.py
 step "llama-scale factors on TPU" env KRON_LLAMA_SCALE=1 python -m pytest \
   tests/test_llama_scale.py -x -q -k tpu
 step "bench quick" env KRON_BENCH_QUICK=1 python bench.py
+step "bench quick fp8 query storage, block 112" env KRON_BENCH_QUICK=1 \
+  KRON_BENCH_QUERY_STORAGE=float8_e4m3fn KRON_BENCH_QUERY_ACC=14 \
+  KRON_BENCH_FIDELITY=1 python bench.py
 
 echo "SWEEP DONE — inspect $LOG, then decide solver defaults before the full bench." | tee -a "$LOG"
