@@ -246,6 +246,11 @@ def main():
     # mode below certifies its score correlation against fp32.
     query_storage = os.environ.get("KRON_BENCH_QUERY_STORAGE", "") or None
     if query_storage:
+        from kronfluence_tpu.arguments import ScoreArguments
+
+        # Validate up front (typo guard): a bad dtype must not surface only
+        # after the factor stages have run for tens of minutes.
+        ScoreArguments(query_gradient_storage_dtype=query_storage)
         score_args.query_gradient_storage_dtype = query_storage
 
     def force(tree):

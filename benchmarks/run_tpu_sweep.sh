@@ -8,6 +8,9 @@
 # Usage: bash benchmarks/run_tpu_sweep.sh [logfile]
 set -u
 cd "$(dirname "$0")/.."
+# The package is not pip-installed; scripts under benchmarks/ need the repo
+# root importable.
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 LOG=${1:-/tmp/tpu_sweep.log}
 step() {
   echo "=== [$(date -u +%H:%M:%S)] $1" | tee -a "$LOG"
@@ -24,8 +27,8 @@ print('is_tpu_backend:', is_tpu_backend())
 print('pallas_works:', pallas_works())
 from kronfluence_tpu.ops.pallas.syrk import syrk_works
 print('syrk_works:', syrk_works())
-from kronfluence_tpu.ops.pallas.jacobi import _compiled_kernel_works
-print('jacobi_compiled_works:', _compiled_kernel_works())
+from kronfluence_tpu.ops.pallas.jacobi import jacobi_works
+print('jacobi_compiled_works:', jacobi_works())
 "
 
 step "micro_syrk" python benchmarks/micro_syrk.py

@@ -89,18 +89,21 @@ def main():
         # extension, ops/quantize.py): same pipeline precision, half the
         # query-block HBM. Heuristic damping (the low-precision presets'
         # default) is the intended regime — see the storage-dtype docs.
-        fa8 = all_low_precision_factor_arguments(strategy="ekfac")
+        # Factor arguments are identical to the bf16 recipe's, so the bf16
+        # factors are REUSED (None) — only the score pass differs.
         sa8 = all_low_precision_score_arguments()
         sa8.query_gradient_storage_dtype = "float8_e4m3fn"
-        recipes["bf16+fp8qs"] = (fa8, sa8)
+        recipes["bf16+fp8qs"] = (None, sa8)
     scores = {}
     for name, (fa, sa) in recipes.items():
-        analyzer.fit_all_factors(
-            f"ekfac_{name}", train, per_device_batch_size=args.train_batch_size,
-            factor_args=fa, overwrite_output_dir=True,
-        )
+        factors_name = f"ekfac_{name}" if fa is not None else "ekfac_bf16"
+        if fa is not None:
+            analyzer.fit_all_factors(
+                factors_name, train, per_device_batch_size=args.train_batch_size,
+                factor_args=fa, overwrite_output_dir=True,
+            )
         analyzer.compute_pairwise_scores(
-            f"pairwise_{name}", f"ekfac_{name}", query, train,
+            f"pairwise_{name}", factors_name, query, train,
             per_device_query_batch_size=args.num_query,
             per_device_train_batch_size=args.train_batch_size,
             score_args=sa, overwrite_output_dir=True,

@@ -58,7 +58,10 @@ def gram(
 def _syrk_psum(flat: jax.Array, accum_dtype, mesh):
     """Per-data-shard Pallas syrk + psum via shard_map (None if rows do not
     divide the data axis — the partitioned XLA dot handles that case)."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from kronfluence_tpu.ops.pallas import syrk as syrk_mod
@@ -71,13 +74,24 @@ def _syrk_psum(flat: jax.Array, accum_dtype, mesh):
     def per_shard(f):
         return jax.lax.psum(syrk_mod.syrk(f, accum_dtype), DATA_AXIS)
 
-    return shard_map(
-        per_shard,
-        mesh=mesh,
-        in_specs=P(DATA_AXIS, None),
-        out_specs=P(None, None),
-        check_rep=False,
-    )(flat)
+    # Replication checking is off: pallas_call carries no replication
+    # (vma) rule. Keyword differs across jax versions.
+    try:
+        return shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=P(DATA_AXIS, None),
+            out_specs=P(None, None),
+            check_vma=False,
+        )(flat)
+    except TypeError:  # pragma: no cover — older jax
+        return shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=P(DATA_AXIS, None),
+            out_specs=P(None, None),
+            check_rep=False,
+        )(flat)
 
 
 def bordered_gram(

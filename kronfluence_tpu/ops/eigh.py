@@ -208,6 +208,9 @@ def _blocked_jacobi_eigh(
                 from kronfluence_tpu.ops.pallas.jacobi import jacobi_pivot_rotations
 
                 V = jacobi_pivot_rotations(S, inner_sweeps, eps=eps, interpret=False)
+                # interpret=False is safe here: `use_pallas` comes from the
+                # kernel-specific self-probe (jacobi_works), not just the
+                # generic Pallas capability check.
             else:
                 V = _scalar_jacobi(S, inner_sweeps, eps)
             V = V.reshape(x, np_pairs, two_b, two_b)
@@ -435,9 +438,9 @@ def eigh_batched(
     # large batches of large matrices are processed in chunks.
     budget_elems = 64_000_000  # ~2 GB fp32 across the ~8-tensor live set
     chunk = max(1, min(A.shape[0], budget_elems // (n * n)))
-    from kronfluence_tpu.utils.platform import pallas_works
+    from kronfluence_tpu.ops.pallas.jacobi import jacobi_works
 
-    use_pallas = pallas_works()
+    use_pallas = jacobi_works()
     ev_parts, vec_parts = [], []
     for start in range(0, A.shape[0], chunk):
         ev, vec = _padded_blocked_eigh(

@@ -141,12 +141,14 @@ def _jacobi_kernel(s_ref, v_ref, a_scr, eps: float, unroll: int = 1):
 _COMPILED_WORKS = None
 
 
-def _compiled_kernel_works() -> bool:
+def jacobi_works() -> bool:
     """Whether the COMPILED (non-interpret) Jacobi kernel runs correctly on
-    this backend — self-probed once per process on a tiny batch and checked
-    against the interpreter. A generic Pallas capability probe is not enough:
-    this kernel additionally needs `pltpu.roll`, scratch buffers, and a
-    revisited output block to compile under Mosaic."""
+    this backend — self-probed once per process on a tiny batch, checking
+    BOTH that V^T S V is diagonal and that V is orthogonal (a miscompile
+    that leaves the output zeroed would pass a diagonality check alone).
+    A generic Pallas capability probe is not enough: this kernel additionally
+    needs `pltpu.roll`, scratch buffers, and a revisited output block to
+    compile under Mosaic."""
     global _COMPILED_WORKS
     if _COMPILED_WORKS is None:
         from kronfluence_tpu.utils.platform import pallas_works
@@ -159,18 +161,24 @@ def _compiled_kernel_works() -> bool:
 
                 rng = np.random.RandomState(0)
                 base = rng.randn(2, 8, 8).astype(np.float32)
-                s = jnp.asarray(base + np.swapaxes(base, 1, 2))
+                s = base + np.swapaxes(base, 1, 2)
                 v = np.asarray(
-                    jacobi_pivot_rotations(s, sweeps=6, interpret=False)
+                    jacobi_pivot_rotations(jnp.asarray(s), sweeps=6, interpret=False)
                 )
-                d = np.einsum("yij,yjk,ykl->yil", np.swapaxes(v, 1, 2), base + np.swapaxes(base, 1, 2), v)
+                d = np.einsum("yji,yjk,ykl->yil", v, s, v)
                 off = d - d * np.eye(8)[None]
+                vtv = np.einsum("yji,yjk->yik", v, v)
                 _COMPILED_WORKS = bool(
                     np.abs(off).max() < 1e-3 * max(1.0, np.abs(d).max())
+                    and np.abs(vtv - np.eye(8)[None]).max() < 1e-3
                 )
             except Exception:
                 _COMPILED_WORKS = False
     return _COMPILED_WORKS
+
+
+# Backwards-compatible alias (pre-rename).
+_compiled_kernel_works = jacobi_works
 
 
 def jacobi_pivot_rotations(

@@ -95,15 +95,20 @@ def syrk_works() -> bool:
             _SYRK_WORKS = False
         else:
             try:
-                rows, n = 24, 4 * 128
+                # rows > tile_k so the K grid has several steps: the
+                # revisited-output accumulation branch (k != 0 in
+                # _syrk_kernel) is exactly what a partially-capable backend
+                # miscompiles, and production grams always run it
+                # (rows = batch x seq). Tile sizes match production defaults.
+                rows, n = 3 * _TILE_K + 64, 4 * _TILE_N
                 a = (
                     jnp.arange(rows * n, dtype=jnp.float32).reshape(rows, n)
                     % 7.0
                 ) - 3.0
-                got = np.asarray(syrk(a, jnp.float32, tile_n=128, tile_k=128))
+                got = np.asarray(syrk(a, jnp.float32))
                 want = np.asarray(a).T @ np.asarray(a)
                 _SYRK_WORKS = bool(
-                    np.allclose(got, want, rtol=1e-4, atol=1e-4)
+                    np.allclose(got, want, rtol=1e-4, atol=1e-2 * rows)
                 )
             except Exception:
                 _SYRK_WORKS = False
