@@ -158,13 +158,11 @@ class ScoreArguments(Arguments):
             raise ValueError("`damping_factor` must be non-negative or None.")
         if self.query_gradient_storage_dtype is not None:
             from kronfluence_tpu.ops.quantize import STORAGE_DTYPES
-            from kronfluence_tpu.utils.dtypes import resolve_dtype
-
-            import jax.numpy as jnp
+            from kronfluence_tpu.utils.dtypes import canonical_dtype_name
 
             try:
-                dt = str(jnp.dtype(resolve_dtype(self.query_gradient_storage_dtype)))
-            except Exception:
+                dt = canonical_dtype_name(self.query_gradient_storage_dtype)
+            except ValueError:
                 dt = str(self.query_gradient_storage_dtype)
             if dt not in STORAGE_DTYPES:
                 raise ValueError(

@@ -44,15 +44,48 @@ def gram(
         if syrk_supported(flat.shape[-1], accum_dtype) and syrk_works():
             if mesh is None:
                 return syrk(flat, accum_dtype)
-            spmd = _syrk_psum(flat, accum_dtype, mesh)
-            if spmd is not None:
-                return spmd
+            if _syrk_spmd_works(mesh):
+                spmd = _syrk_psum(flat, accum_dtype, mesh)
+                if spmd is not None:
+                    return spmd
     return jax.lax.dot_general(
         flat,
         flat,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=accum_dtype,
     )
+
+
+_SPMD_WORKS = {}
+
+
+def _syrk_spmd_works(mesh) -> bool:
+    """Whether the syrk kernel compiles and runs correctly INSIDE shard_map
+    on this mesh — probed once per mesh shape. The bare-kernel probe
+    (syrk_works) does not cover Mosaic-under-shard_map compilation or the
+    per-shard row regime, and a mid-stage compile failure has no graceful
+    fallback; a failed probe demotes meshed grams to the partitioned XLA
+    dot instead."""
+    from kronfluence_tpu.parallel.mesh import DATA_AXIS
+
+    key = tuple(sorted(mesh.shape.items()))
+    if key not in _SPMD_WORKS:
+        try:
+            import numpy as np
+
+            n_data = mesh.shape[DATA_AXIS]
+            rows, n = n_data * 640, 4 * 512  # several K steps per shard
+            a = (
+                jnp.arange(rows * n, dtype=jnp.float32).reshape(rows, n) % 7.0
+            ) - 3.0
+            got = np.asarray(_syrk_psum(a, jnp.float32, mesh))
+            want = np.asarray(a).T @ np.asarray(a)
+            _SPMD_WORKS[key] = bool(
+                got is not None and np.allclose(got, want, rtol=1e-4, atol=1e-2 * rows)
+            )
+        except Exception:
+            _SPMD_WORKS[key] = False
+    return _SPMD_WORKS[key]
 
 
 def _syrk_psum(flat: jax.Array, accum_dtype, mesh):

@@ -143,12 +143,18 @@ _COMPILED_WORKS = None
 
 def jacobi_works() -> bool:
     """Whether the COMPILED (non-interpret) Jacobi kernel runs correctly on
-    this backend — self-probed once per process on a tiny batch, checking
-    BOTH that V^T S V is diagonal and that V is orthogonal (a miscompile
-    that leaves the output zeroed would pass a diagonality check alone).
-    A generic Pallas capability probe is not enough: this kernel additionally
-    needs `pltpu.roll`, scratch buffers, and a revisited output block to
-    compile under Mosaic."""
+    this backend — self-probed once per process AT THE PRODUCTION SHAPE
+    (m=64 pivot blocks, batch tile 64: eigh.py dispatches 2*block_size=64
+    with the default batch_tile), so the probe compiles the same Mosaic
+    tiling the eigh stage dispatches (persisted in the compilation cache —
+    the stage would pay this compile anyway). A generic Pallas capability
+    probe is not enough: this kernel additionally needs `pltpu.roll`,
+    scratch buffers, and a revisited output block.
+
+    Production runs few sweeps as approximate solves, so near-diagonality is
+    not required; instead the probe checks the rotation invariants: V is
+    orthogonal (catches zeroed/garbled outputs) and the off-diagonal mass
+    shrinks substantially (catches no-op rotations)."""
     global _COMPILED_WORKS
     if _COMPILED_WORKS is None:
         from kronfluence_tpu.utils.platform import pallas_works
@@ -159,18 +165,24 @@ def jacobi_works() -> bool:
             try:
                 import numpy as np
 
+                m, y = 64, 64
                 rng = np.random.RandomState(0)
-                base = rng.randn(2, 8, 8).astype(np.float32)
+                base = rng.randn(y, m, m).astype(np.float32)
                 s = base + np.swapaxes(base, 1, 2)
                 v = np.asarray(
-                    jacobi_pivot_rotations(jnp.asarray(s), sweeps=6, interpret=False)
+                    jacobi_pivot_rotations(jnp.asarray(s), sweeps=2, interpret=False)
                 )
                 d = np.einsum("yji,yjk,ykl->yil", v, s, v)
-                off = d - d * np.eye(8)[None]
+                eye = np.eye(m, dtype=np.float32)[None]
+                off = lambda x: np.sqrt(np.sum(np.square(x - x * eye)))
                 vtv = np.einsum("yji,yjk->yik", v, v)
+                # 0.75: two sweeps comfortably halve the off-mass of random
+                # symmetric blocks; the threshold only needs to separate
+                # working rotations from no-ops (ratio ~1) or garbage (>1) —
+                # orthogonality above is the strong correctness gate.
                 _COMPILED_WORKS = bool(
-                    np.abs(off).max() < 1e-3 * max(1.0, np.abs(d).max())
-                    and np.abs(vtv - np.eye(8)[None]).max() < 1e-3
+                    np.abs(vtv - eye).max() < 1e-3
+                    and off(d) < 0.75 * off(s)
                 )
             except Exception:
                 _COMPILED_WORKS = False
@@ -178,7 +190,8 @@ def jacobi_works() -> bool:
 
 
 # Backwards-compatible alias (pre-rename).
-_compiled_kernel_works = jacobi_works
+def _compiled_kernel_works() -> bool:
+    return jacobi_works()
 
 
 def jacobi_pivot_rotations(
@@ -205,7 +218,7 @@ def jacobi_pivot_rotations(
     if eps is None:
         eps = float(jnp.finfo(jnp.float32).eps)
     if interpret is None:
-        interpret = not _compiled_kernel_works()
+        interpret = not jacobi_works()
 
     yt = min(batch_tile, y)
     y_pad = int(math.ceil(y / yt) * yt)

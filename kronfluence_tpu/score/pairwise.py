@@ -255,15 +255,22 @@ def compute_pairwise_scores_with_loaders(
 
     score_args = score_args or ScoreArguments()
     profiler = profiler or PassThroughProfiler()
+    from kronfluence_tpu.utils.dtypes import canonical_dtype_name
+
+    storage_name = (
+        canonical_dtype_name(score_args.query_gradient_storage_dtype)
+        if score_args.query_gradient_storage_dtype is not None
+        else None
+    )
     if (
-        score_args.query_gradient_storage_dtype is not None
-        and str(score_args.query_gradient_storage_dtype).startswith("float8")
+        storage_name is not None
+        and storage_name.startswith("float8")
         and score_args.damping_factor is not None
         and score_args.damping_factor < 1e-6
     ):
-        import logging
+        from kronfluence_tpu.utils.logger import get_logger
 
-        logging.getLogger("kronfluence_tpu").warning(
+        get_logger("kronfluence_tpu").warning(
             "float8 query-gradient storage with damping_factor=%g: near-zero "
             "damping inflates preconditioned gradients and the score inner "
             "products cancel heavily, amplifying float8's ~3%% element noise. "

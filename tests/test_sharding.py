@@ -191,6 +191,9 @@ def test_meshed_covariance_routes_syrk_through_shard_map(problem, monkeypatch):
     monkeypatch.setattr(syrk_mod, "syrk", fake_syrk)
     monkeypatch.setattr(syrk_mod, "syrk_supported", lambda *a, **k: True)
     monkeypatch.setattr(syrk_mod, "syrk_works", lambda: True)
+    # The spmd probe is separately tested below; forcing it keeps the
+    # recorded shapes to the production calls only.
+    monkeypatch.setattr(cov_ops, "_syrk_spmd_works", lambda mesh: True)
 
     single = fit_covariance_matrices_with_loader(
         model, params, task, BatchLoader(train, 8), args
@@ -220,6 +223,39 @@ def test_meshed_covariance_routes_syrk_through_shard_map(problem, monkeypatch):
     assert shapes == [] and out.shape == (16, 16)
 
 
+def test_syrk_spmd_probe_gates_meshed_dispatch(monkeypatch):
+    """A backend whose kernel works bare but fails inside shard_map must be
+    caught by the per-mesh probe, demoting meshed grams to the XLA dot."""
+    from kronfluence_tpu.ops import covariance as cov_ops
+    from kronfluence_tpu.ops.pallas import syrk as syrk_mod
+
+    monkeypatch.setattr(syrk_mod, "syrk_supported", lambda *a, **k: True)
+    monkeypatch.setattr(syrk_mod, "syrk_works", lambda: True)
+    monkeypatch.setattr(cov_ops, "_SPMD_WORKS", {})
+    mesh = make_mesh(data=8)
+
+    def broken_syrk(flat, accum_dtype, **kw):
+        raise RuntimeError("mosaic-under-shard_map unsupported")
+
+    monkeypatch.setattr(syrk_mod, "syrk", broken_syrk)
+    assert cov_ops._syrk_spmd_works(mesh) is False
+    # gram still succeeds (XLA dot fallback), despite the broken kernel.
+    out = cov_ops.gram(jnp.ones((16, 512), jnp.float32), jnp.float32, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out), np.full((512, 512), 16.0))
+
+    # A correct kernel passes the probe (fresh cache).
+    monkeypatch.setattr(cov_ops, "_SPMD_WORKS", {})
+
+    def dot_syrk(flat, accum_dtype, **kw):
+        return jax.lax.dot_general(
+            flat, flat, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=accum_dtype,
+        )
+
+    monkeypatch.setattr(syrk_mod, "syrk", dot_syrk)
+    assert cov_ops._syrk_spmd_works(mesh) is True
+
+
 def test_real_syrk_kernel_executes_inside_shard_map(monkeypatch):
     """The actual Pallas triangle kernel (interpret mode on CPU) must trace
     and execute inside shard_map — the production TPU path for meshed
@@ -234,6 +270,7 @@ def test_real_syrk_kernel_executes_inside_shard_map(monkeypatch):
     )
     monkeypatch.setattr(syrk_mod, "syrk_supported", lambda *a, **k: True)
     monkeypatch.setattr(syrk_mod, "syrk_works", lambda: True)
+    monkeypatch.setattr(cov_ops, "_syrk_spmd_works", lambda mesh: True)
 
     rng = np.random.default_rng(0)
     flat = jnp.asarray(rng.standard_normal((16, 512)), jnp.float32)
