@@ -34,6 +34,17 @@ module restructures the same Nakatsukasa-Higham spectral divide-and-conquer
 Per-problem robustness fallbacks (split retries at different quantiles,
 rejection of non-converged sign iterations) are plain host Python - one more
 advantage of keeping the recursion off the device.
+
+Measured status (v5e via the tunneled axon backend, 2026-08-18,
+benchmarks/micro_eigh.py on GPT-2's five factor dim groups): warmup 612 s and
+a steady solve that did not finish within 580 s, vs stock QDWH's ~108 s
+one-time compile + 13.2 s steady. The level-synchronous host loop still pays
+hundreds of round-trips through the tunnel (rank fetches gate every level),
+which dwarfs the device math at these dims. This solver is therefore NOT the
+production default for moderate dims ("auto" -> QDWH, arguments.py); it is
+the device path for LARGE_EIGH_DIM (>= 6144) matrices where QDWH's compile
+time and workspace are infeasible, with host fp64 LAPACK as the OOM fallback
+(ops/eigh.py:eigh_large).
 """
 
 import math
