@@ -1,0 +1,70 @@
+"""Micro-benchmark: per-dim-group eigensolver timing on GPT-2's merged groups.
+
+The production eigendecomposition (factor/eigen.py) solves three merged
+static-shape groups: (60, 769, 769), (12, 2304, 2304), (24, 3073, 3073).
+This script times each group separately under the stock QDWH solver and the
+batched blocked-Jacobi solver, to locate where the stage's steady seconds go
+and whether a per-group hybrid dispatch would beat all-QDWH.
+
+Usage: python benchmarks/micro_eigh_groups.py [qdwh|jacobi|both]
+Needs the repo root AND the TPU plugin dir on PYTHONPATH.
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kronfluence_tpu.utils.platform import enable_persistent_cache
+
+enable_persistent_cache()
+
+which = sys.argv[1] if len(sys.argv) > 1 else "both"
+
+rng = np.random.default_rng(0)
+
+GROUPS = [(60, 769), (12, 2304), (24, 3073)]
+
+
+def make(b, n):
+    g = rng.standard_normal((b, n, max(n // 2, 8))).astype(np.float32)
+    scale = np.exp(rng.uniform(-6, 2, size=(b, n, 1))).astype(np.float32)
+    m = np.einsum("bik,bjk->bij", g * scale, g * scale)
+    m += 1e-4 * np.eye(n, dtype=np.float32)
+    return jnp.asarray(m)
+
+
+def bench(name, fn, A):
+    t0 = time.time()
+    out = fn(A)
+    jax.block_until_ready(out)
+    np.asarray(jax.tree_util.tree_leaves(out)[0][..., :1])
+    warm = time.time() - t0
+    t0 = time.time()
+    out = fn(A)
+    jax.block_until_ready(out)
+    np.asarray(jax.tree_util.tree_leaves(out)[0][..., :1])
+    steady = time.time() - t0
+    print(f"{name}: warmup {warm:.1f}s steady {steady:.2f}s", file=sys.stderr, flush=True)
+    return steady
+
+
+totals = {}
+for b, n in GROUPS:
+    A = make(b, n)
+    jax.block_until_ready(A)
+    if which in ("qdwh", "both"):
+        from kronfluence_tpu.ops.eigh import eigh_stock_batched
+
+        totals.setdefault("qdwh", 0.0)
+        totals["qdwh"] += bench(f"qdwh ({b},{n})", eigh_stock_batched, A)
+    if which in ("jacobi", "both"):
+        from kronfluence_tpu.ops.eigh import eigh_batched
+
+        totals.setdefault("jacobi", 0.0)
+        totals["jacobi"] += bench(f"jacobi ({b},{n})", eigh_batched, A)
+    del A
+
+for k, v in totals.items():
+    print(f"total {k}: {v:.2f}s", file=sys.stderr, flush=True)
