@@ -62,13 +62,16 @@ MODEL_FORM = os.environ.get("KRON_BENCH_MODEL", "unrolled")
 SCAN_REMAT = bool(_env("SCAN_REMAT", 0))
 COV_BATCH = _env("COV_BATCH", 16)   # 32 measured slightly worse (125 vs 131 ex/s)
 LAMBDA_BATCH = _env("LAMBDA_BATCH", 32)  # 32 measured ~6% faster than 16
-# Query blocks: small per-step batches accumulated into a 56-query block —
+# Query blocks: small per-step batches accumulated into one resident block —
 # big blocks amortize the train-side backward, small steps bound the peak HBM
 # of query-gradient capture (the chunked-block design in score/pairwise.py).
+# QUERY_ACC=0 (default) sizes the block from the analytic memory model
+# (utils/memory.py:max_queries_per_block): the r02 full bench OOMed on a
+# hand-picked 56-query block, the exact failure the model now prevents.
 QUERY_BATCH = _env("QUERY_BATCH", 8)
-QUERY_ACC = _env("QUERY_ACC", 7)  # accumulation steps -> block = BATCH * ACC
+QUERY_ACC = _env("QUERY_ACC", 0)  # accumulation steps; 0 = auto from memory model
 TRAIN_BATCH = _env("TRAIN_BATCH", 16)
-N_QUERY = max(N_QUERY, QUERY_BATCH * QUERY_ACC)
+N_QUERY = max(N_QUERY, QUERY_BATCH * max(QUERY_ACC, 1))
 # KRON_BENCH_FIDELITY: after the timed bf16 run, score one query block in
 # BOTH the bf16 recipe and full fp32 and report Pearson/Spearman correlation
 # (the reference publishes 0.96 for this comparison,
@@ -239,7 +242,8 @@ def main():
     FactorArguments(eigendecomposition_solver=solver)  # validate (typo guard)
     factor_args.eigendecomposition_solver = solver
     score_args = smart_low_precision_score_arguments()
-    score_args.query_gradient_accumulation_steps = QUERY_ACC
+    # Resolved to a concrete step count (auto or env override) before stage 4.
+    score_args.query_gradient_accumulation_steps = QUERY_ACC or None
     # KRON_BENCH_QUERY_STORAGE: store resident query blocks in this dtype
     # (e.g. float8_e4m3fn halves the block footprint so ~2x the queries fit
     # per block -> half the train passes; see ops/quantize.py). The fidelity
@@ -345,9 +349,9 @@ def main():
     if FIDELITY:
         from kronfluence_tpu.arguments import ScoreArguments
 
-        fp32_score_args = ScoreArguments(
-            query_gradient_accumulation_steps=QUERY_ACC
-        )
+        # fp32 blocks are 2x the bf16 footprint; accumulation=None lets the
+        # driver size the fp32 block from the memory model independently.
+        fp32_score_args = ScoreArguments(query_gradient_accumulation_steps=None)
         force(warm_precondition_state_cache(
             model, factors, factor_args.strategy, fp32_score_args, spec_names))
     factors.clear()
@@ -355,13 +359,29 @@ def main():
     # ---- Stage 4: pairwise scores ----
     query_data = make_data(N_QUERY, 5)
     train_data = make_data(N_TRAIN, 6)
+    query_acc = QUERY_ACC
+    if query_acc == 0:
+        from kronfluence_tpu.score.pairwise import resolve_query_accumulation
+
+        q_probe_loader = BatchLoader(query_data, QUERY_BATCH)
+        probe_batch, _ = q_probe_loader.probe()
+        query_acc = resolve_query_accumulation(
+            model, task, params, probe_batch, q_probe_loader,
+            BatchLoader(train_data, TRAIN_BATCH), score_args,
+        )
+        log(
+            f"auto query block: {QUERY_BATCH}x{query_acc} = "
+            f"{QUERY_BATCH * query_acc} queries/block "
+            f"({-(-N_QUERY // (QUERY_BATCH * query_acc))} train passes)"
+        )
+    score_args.query_gradient_accumulation_steps = query_acc
     # Warmup compiles the query/train/accumulate steps with ONE query block
     # over index-slices of the real stores (see the covariance warmup note).
     t0 = time.time()
     compute_pairwise_scores_with_loaders(
         model, params, task,
         BatchLoader(query_data, QUERY_BATCH,
-                    indices=np.arange(QUERY_BATCH * QUERY_ACC)),
+                    indices=np.arange(min(N_QUERY, QUERY_BATCH * query_acc))),
         BatchLoader(train_data, TRAIN_BATCH, indices=np.arange(2 * TRAIN_BATCH)),
         factors, factor_args, score_args,
     )
@@ -380,7 +400,7 @@ def main():
     # ---- Optional: bf16 <-> fp32 score fidelity at bench scale ----
     fidelity = {}
     if FIDELITY:
-        block = QUERY_BATCH * QUERY_ACC
+        block = min(N_QUERY, QUERY_BATCH * query_acc)
         q_loader = BatchLoader(query_data, QUERY_BATCH, indices=np.arange(block))
         t_loader = BatchLoader(train_data, TRAIN_BATCH)
         s_bf16 = np.asarray(
@@ -458,6 +478,7 @@ def main():
                 "mode": "quick_projected" if QUICK else "full_measured",
                 "model_form": MODEL_FORM,
                 "query_storage_dtype": query_storage,
+                "query_block": QUERY_BATCH * query_acc,
                 "e2e_warm_s": round(grand, 1),
                 "e2e_cold_s": round(cold_total, 1),
                 "e2e_vs_ref_fp32": round(REF_TOTAL_S / grand, 2),

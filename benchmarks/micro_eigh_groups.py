@@ -1,8 +1,10 @@
 """Micro-benchmark: per-dim-group eigensolver timing on GPT-2's merged groups.
 
-The production eigendecomposition (factor/eigen.py) solves three merged
-static-shape groups: (60, 769, 769), (12, 2304, 2304), (24, 3073, 3073).
-This script times each group separately under the stock QDWH solver and the
+The production eigendecomposition (factor/eigen.py:_device_eigendecomposition)
+merges near-miss dims ACROSS both factor families, so GPT-2 dispatches exactly
+three static-shape groups: (60, 769, 769) = 36 act@769 + 24 grad@768,
+(24, 3073, 3073) = 12 act@3073 + 12 grad@3072, and (12, 2304, 2304). This
+script times each group separately under the stock QDWH solver and the
 batched blocked-Jacobi solver, to locate where the stage's steady seconds go
 and whether a per-group hybrid dispatch would beat all-QDWH.
 
@@ -21,6 +23,13 @@ from kronfluence_tpu.utils.platform import enable_persistent_cache
 enable_persistent_cache()
 
 which = sys.argv[1] if len(sys.argv) > 1 else "both"
+if which not in ("qdwh", "jacobi", "both"):
+    print(
+        f"unknown solver {which!r}\n"
+        "Usage: python benchmarks/micro_eigh_groups.py [qdwh|jacobi|both]",
+        file=sys.stderr,
+    )
+    sys.exit(2)
 
 rng = np.random.default_rng(0)
 

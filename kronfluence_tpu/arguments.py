@@ -133,8 +133,12 @@ class ScoreArguments(Arguments):
     compute_per_module_scores: bool = False
     compute_per_token_scores: bool = False
 
-    # Query-gradient batching configuration.
-    query_gradient_accumulation_steps: int = 1
+    # Query-gradient batching configuration. The reference default (1) is
+    # kept for config parity; `None` is a TPU extension meaning "size the
+    # resident query block automatically from the analytic memory model"
+    # (utils/memory.py:max_queries_per_block) — XLA has no recoverable OOM,
+    # so the block must be sized right the first time.
+    query_gradient_accumulation_steps: Optional[int] = 1
     query_gradient_low_rank: Optional[int] = None
     use_full_svd: bool = False
 
@@ -174,8 +178,15 @@ class ScoreArguments(Arguments):
                     "`query_gradient_storage_dtype` must be one of "
                     f"{STORAGE_DTYPES} or None, got {self.query_gradient_storage_dtype!r}."
                 )
-        for name in ("data_partitions", "module_partitions", "query_gradient_accumulation_steps"):
+        for name in ("data_partitions", "module_partitions"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"`{name}` must be positive.")
+        if (
+            self.query_gradient_accumulation_steps is not None
+            and self.query_gradient_accumulation_steps <= 0
+        ):
+            raise ValueError(
+                "`query_gradient_accumulation_steps` must be positive or None (auto)."
+            )
         if self.query_gradient_low_rank is not None and self.query_gradient_low_rank <= 0:
             raise ValueError("`query_gradient_low_rank` must be positive or None.")

@@ -141,47 +141,54 @@ def _device_eigendecomposition(covariance_factors, eigen_factors, solver="auto")
             return eigh_large(normalized)
         return base_solve(normalized)
 
-    for cov_name, count_name, evec_name, eval_name in _FACTOR_PAIRS:
-        groups: Dict[int, list] = {}
+    # Collect jobs across BOTH factor families before merging dim groups:
+    # near-miss dims from different families (GPT-2: act 769 vs grad 768,
+    # act 3073 vs grad 3072 — the bias column's off-by-one) then share one
+    # batched solve. For GPT-2 this dispatches 3 programs ((60,769), (24,3073),
+    # (12,2304)) instead of 5, so two of the minutes-long QDWH compiles
+    # disappear and the big-dim solve runs as one larger batch.
+    groups: Dict[int, list] = {}
+    for pair_idx, (cov_name, _count, _evec, _eval) in enumerate(_FACTOR_PAIRS):
         for module_name, mat in covariance_factors[cov_name].items():
-            groups.setdefault(mat.shape[0], []).append(module_name)
-        for target, entries in _merge_dim_groups(groups).items():
-            parts = []
-            # Sub-stack per original dim (one static-shape pad program each),
-            # then concatenate into the shared (x, target, target) batch.
-            by_dim: Dict[int, list] = {}
-            for module_name, dim in entries:
-                by_dim.setdefault(dim, []).append(module_name)
-            order = [(n, d) for d in sorted(by_dim, reverse=True) for n in by_dim[d]]
-            for dim in sorted(by_dim, reverse=True):
-                names = by_dim[dim]
-                stacked = jnp.stack(
-                    [jnp.asarray(covariance_factors[cov_name][n]) for n in names]
-                )
-                counts = jnp.stack(
-                    [
-                        jnp.asarray(covariance_factors[count_name][n])
-                        .reshape(())
-                        .astype(jnp.float32)
-                        for n in names
-                    ]
-                )
-                parts.append(_normalize_pad_stacked(stacked, counts, target))
-            normalized = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-            evals, evecs = solve(normalized)
-            out_dtype = jnp.asarray(
-                covariance_factors[cov_name][order[0][0]]
-            ).dtype
-            for i, (module_name, dim) in enumerate(order):
-                ev, vec = evals[i], evecs[i]
-                if dim != target:
-                    # True eigenpairs sort first (ascending); their vectors'
-                    # padded-row components are ~eps. Slice and renormalize.
-                    ev = ev[:dim]
-                    vec = vec[:dim, :dim]
-                    vec = vec / jnp.linalg.norm(vec, axis=0, keepdims=True)
-                eigen_factors[eval_name][module_name] = ev.astype(out_dtype)
-                eigen_factors[evec_name][module_name] = vec.astype(out_dtype)
+            groups.setdefault(mat.shape[0], []).append((pair_idx, module_name))
+    for target, entries in _merge_dim_groups(groups).items():
+        parts = []
+        # Sub-stack per (family, original dim) — one static-shape pad program
+        # each — then concatenate into the shared (x, target, target) batch.
+        by_key: Dict[tuple, list] = {}
+        for (pair_idx, module_name), dim in entries:
+            by_key.setdefault((dim, pair_idx), []).append(module_name)
+        keys = sorted(by_key, key=lambda k: (-k[0], k[1]))
+        order = [(k[1], n, k[0]) for k in keys for n in by_key[k]]
+        for dim, pair_idx in keys:
+            cov_name, count_name = _FACTOR_PAIRS[pair_idx][:2]
+            names = by_key[(dim, pair_idx)]
+            stacked = jnp.stack(
+                [jnp.asarray(covariance_factors[cov_name][n]) for n in names]
+            )
+            counts = jnp.stack(
+                [
+                    jnp.asarray(covariance_factors[count_name][n])
+                    .reshape(())
+                    .astype(jnp.float32)
+                    for n in names
+                ]
+            )
+            parts.append(_normalize_pad_stacked(stacked, counts, target))
+        normalized = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        evals, evecs = solve(normalized)
+        for i, (pair_idx, module_name, dim) in enumerate(order):
+            cov_name, _count, evec_name, eval_name = _FACTOR_PAIRS[pair_idx]
+            out_dtype = jnp.asarray(covariance_factors[cov_name][module_name]).dtype
+            ev, vec = evals[i], evecs[i]
+            if dim != target:
+                # True eigenpairs sort first (ascending); their vectors'
+                # padded-row components are ~eps. Slice and renormalize.
+                ev = ev[:dim]
+                vec = vec[:dim, :dim]
+                vec = vec / jnp.linalg.norm(vec, axis=0, keepdims=True)
+            eigen_factors[eval_name][module_name] = ev.astype(out_dtype)
+            eigen_factors[evec_name][module_name] = vec.astype(out_dtype)
 
 
 def _host_eigendecomposition(covariance_factors, eigen_factors, dtype_name) -> None:

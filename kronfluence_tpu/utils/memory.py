@@ -98,9 +98,17 @@ def per_example_bytes(
         `use_iterative_lambda_aggregation` scans examples one at a time —
         reference arguments.py:116-122 semantics);
       * pairwise/self: per-sample gradients (+preconditioned copy for self).
+        These materialize ONE MODULE AT A TIME — the score drivers contract
+        each module's gradient inside a per-module Python loop of the traced
+        step, so only the current module's block (plus the next being built)
+        is live, not the sum over modules. The peak is therefore
+        2 x max-module, which matches the measured v5e footprint of the
+        GPT-2 bench train pass (~5 GB at batch 16) where a sum-over-modules
+        term would claim ~7.5 GB.
     """
     stream = 0.0
     extra = 0.0
+    psg_peak = 0.0
     for probe in probes.values():
         spec = probe.spec
         d_in = spec.activation_dim
@@ -117,7 +125,9 @@ def per_example_bytes(
                 extra += d_in * d_out * psg_bytes
         elif stage in ("pairwise", "self"):
             factor = 2 if stage == "self" else 1
-            extra += factor * d_in * d_out * psg_bytes
+            psg_peak = max(psg_peak, factor * d_in * d_out * psg_bytes)
+    if stage in ("pairwise", "self"):
+        extra += 2 * psg_peak
     residual = RESIDUAL_MULTIPLIER_REMAT if remat else RESIDUAL_MULTIPLIER
     return residual * stream + extra
 
@@ -148,6 +158,99 @@ def static_bytes(
             # precondition state: two eigenvector matrices + inverse lambda
             total += (d_in * d_in + d_out * d_out + d_in * d_out) * state_bytes
     return total
+
+
+def query_block_bytes(
+    probes: Dict[str, ModuleProbe],
+    score_args: Any,
+    num_queries: int,
+) -> float:
+    """Resident bytes of one preconditioned query-gradient block.
+
+    This is the largest resident of the pairwise stage (it stays in HBM for an
+    entire pass over the train loader — reference loop nest:
+    kronfluence/score/pairwise.py:217-280). Per query and module the block
+    holds either the dense (o, i) gradient in `score_dtype`, its quantized
+    payload + one fp32 scale (`query_gradient_storage_dtype`), or the low-rank
+    (rank, o) + (rank, i) SVD pair when `query_gradient_low_rank` applies
+    (min(o, i) > rank, matching the driver's routing in score/pairwise.py).
+    """
+    from kronfluence_tpu.utils.dtypes import resolve_dtype
+
+    rank = getattr(score_args, "query_gradient_low_rank", None)
+    storage = getattr(score_args, "query_gradient_storage_dtype", None)
+    score_b = _dtype_bytes(resolve_dtype(score_args.score_dtype))
+    per_query = 0.0
+    for probe in probes.values():
+        d_in = probe.spec.activation_dim
+        d_out = probe.spec.gradient_dim
+        if rank is not None and min(d_in, d_out) > rank:
+            per_query += rank * (d_in + d_out) * score_b
+        elif storage is not None:
+            per_query += d_in * d_out * _dtype_bytes(resolve_dtype(storage)) + 4
+        else:
+            per_query += d_in * d_out * score_b
+    return num_queries * per_query
+
+
+#: Fraction of the device's HBM limit the pairwise stage may plan against.
+#: Unlike DEFAULT_BUDGET_FRACTION (which absorbs *unmodeled* working sets),
+#: the block sizer subtracts every major resident explicitly (params,
+#: precondition state, per-train-batch capture + per-sample gradients, score
+#: chunks), so only XLA scratch and fragmentation need headroom.
+PAIRWISE_BUDGET_FRACTION = 0.9
+
+
+def max_queries_per_block(
+    probes: Dict[str, ModuleProbe],
+    score_args: Any,
+    *,
+    params: Any = None,
+    train_batch_size: int = 1,
+    num_train: int = 0,
+    budget_bytes: Optional[float] = None,
+    max_queries: int = 4096,
+) -> int:
+    """Largest query count whose resident block fits alongside the train pass.
+
+    Models the full pairwise working set: `static_bytes` (params +
+    precondition state), one train batch's capture streams and hoisted
+    per-sample gradients (`per_example_bytes`), the accumulated on-device
+    score chunks (num_train columns per query), and the block itself. This is
+    the term the r02 bench OOM proved necessary: the block is sized so that
+    exactly ONE block plus one train pass fits, and the stage driver keeps at
+    most one block live (score/pairwise.py drops each block before building
+    the next).
+    """
+    from kronfluence_tpu.utils.dtypes import resolve_dtype
+
+    if budget_bytes is None:
+        limit = _device_hbm_limit()
+        budget_bytes = limit * PAIRWISE_BUDGET_FRACTION
+    budget = budget_bytes - static_bytes(probes, "pairwise", params)
+    remat = bool(getattr(score_args, "offload_activations_to_cpu", False))
+    amp = getattr(score_args, "amp_dtype", None)
+    capture_b = _dtype_bytes(resolve_dtype(amp)) if amp is not None else 4
+    psg_b = _dtype_bytes(resolve_dtype(score_args.per_sample_gradient_dtype))
+    budget -= train_batch_size * per_example_bytes(
+        probes, "pairwise", capture_bytes=capture_b, psg_bytes=psg_b, remat=remat
+    )
+    score_b = _dtype_bytes(resolve_dtype(score_args.score_dtype))
+    tokens = max(
+        (p.tokens for p in probes.values()), default=1
+    )  # per-token scores carry the sequence axis
+    per_token = bool(getattr(score_args, "compute_per_token_scores", False))
+    per_query_scores = num_train * (tokens if per_token else 1) * score_b
+    per_query = query_block_bytes(probes, score_args, 1) + per_query_scores
+    if per_query <= 0:
+        return max_queries
+    return max(1, min(max_queries, int(budget // per_query)))
+
+
+def _device_hbm_limit() -> float:
+    device = jax.devices()[0]
+    stats = getattr(device, "memory_stats", lambda: None)() or {}
+    return float(stats.get("bytes_limit", 15 * 1024**3))
 
 
 def device_memory_budget(fraction: float = DEFAULT_BUDGET_FRACTION) -> float:

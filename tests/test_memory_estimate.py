@@ -159,6 +159,165 @@ def test_estimate_is_clamped_and_positive():
     )
 
 
+def _gpt2_probes(seq=512, layers=12, d_model=768):
+    """Synthetic probes matching the bench's GPT-2 tracked-module set
+    (48 modules: attn.c_attn/c_proj + mlp.c_fc/c_proj x 12 layers)."""
+    from kronfluence_tpu.capture.specs import LayerSpec
+    from kronfluence_tpu.utils.memory import ModuleProbe
+
+    probes = {}
+    dims = {
+        "c_attn": (d_model, 3 * d_model),
+        "attn_c_proj": (d_model, d_model),
+        "c_fc": (d_model, 4 * d_model),
+        "mlp_c_proj": (4 * d_model, d_model),
+    }
+    for layer in range(layers):
+        for mod, (d_in, d_out) in dims.items():
+            spec = LayerSpec(
+                name=f"h_{layer}/{mod}", kind="linear", has_bias=True,
+                in_dim=d_in, out_dim=d_out,
+            )
+            probes[spec.name] = ModuleProbe(spec=spec, tokens=seq, uses=1)
+    return probes
+
+
+def test_query_block_bytes_matches_gpt2_footprint():
+    """The bench's bf16 block is ~170 MB/query (VERDICT r2 weak #1 math)."""
+    from kronfluence_tpu.utils.memory import query_block_bytes
+
+    probes = _gpt2_probes()
+    per_query = query_block_bytes(probes, ScoreArguments(score_dtype="bfloat16"), 1)
+    assert 150e6 < per_query < 190e6
+    # fp8 storage halves it (1-byte payload + one fp32 scale per module).
+    fp8 = query_block_bytes(
+        probes,
+        ScoreArguments(
+            score_dtype="bfloat16", query_gradient_storage_dtype="float8_e4m3fn"
+        ),
+        1,
+    )
+    assert fp8 == pytest.approx(per_query / 2, rel=0.01)
+    # Low-rank compression shrinks it by orders of magnitude.
+    lr = query_block_bytes(
+        probes,
+        ScoreArguments(score_dtype="bfloat16", query_gradient_low_rank=32),
+        1,
+    )
+    assert lr < per_query / 10
+
+
+def test_block_sizer_rejects_the_r02_oom_configuration():
+    """Reproduces the BENCH_r02 crash configuration: two 56-query bf16 blocks
+    transiently live on a 16 GB v5e (~19 GB) OOMed. The estimator must size
+    blocks so one block + one train pass fits the budget — i.e. it must never
+    approve 2x56 queries, and the size it picks must actually fit."""
+    from kronfluence_tpu.utils.memory import (
+        PAIRWISE_BUDGET_FRACTION,
+        max_queries_per_block,
+        per_example_bytes,
+        query_block_bytes,
+        static_bytes,
+    )
+    from kronfluence_tpu.utils.common.score_arguments import (
+        smart_low_precision_score_arguments,
+    )
+
+    probes = _gpt2_probes()
+    score_args = smart_low_precision_score_arguments()  # the bench recipe
+    hbm = 16 * 1024**3
+    budget = hbm * PAIRWISE_BUDGET_FRACTION
+    picked = max_queries_per_block(
+        probes, score_args, train_batch_size=16, num_train=4656,
+        budget_bytes=budget,
+    )
+    # The picked block must genuinely fit next to the train pass...
+    working = (
+        query_block_bytes(probes, score_args, picked)
+        + static_bytes(probes, "pairwise")
+        + 16 * per_example_bytes(probes, "pairwise", capture_bytes=2, psg_bytes=2)
+    )
+    assert working <= budget
+    # ...and be non-trivial (a degenerate 1-query block would mean 481 train
+    # passes; the v5e must fit tens of queries per block).
+    assert picked >= 24
+    # The r02 transient (two 56-query blocks at once) exceeds the chip.
+    assert query_block_bytes(probes, score_args, 2 * 56) > budget
+
+
+def test_auto_accumulation_resolves_from_memory_model(monkeypatch):
+    """End-to-end: `query_gradient_accumulation_steps=None` resolves via the
+    memory model and is capped at the number of query batches."""
+    from kronfluence_tpu.score.pairwise import resolve_query_accumulation
+    from kronfluence_tpu.utils.dataset import BatchLoader
+
+    model, params = _seq_model()
+    task = SeqTask()
+    data = {"x": np.ones((12, 4, 8), np.float32)}
+    q_loader = BatchLoader(data, 2)
+    t_loader = BatchLoader(data, 4)
+    score_args = ScoreArguments(query_gradient_accumulation_steps=None)
+    probe_batch, _ = q_loader.probe()
+    # Tiny model, huge budget -> capped at num query batches (12/2 = 6).
+    monkeypatch.setattr(
+        "kronfluence_tpu.utils.memory._device_hbm_limit", lambda: float(1 << 34)
+    )
+    acc = resolve_query_accumulation(
+        model, task, params, probe_batch, q_loader, t_loader, score_args
+    )
+    assert acc == 6
+    # Tight budget -> fewer steps, still >= 1.
+    monkeypatch.setattr(
+        "kronfluence_tpu.utils.memory._device_hbm_limit", lambda: 0.0
+    )
+    acc = resolve_query_accumulation(
+        model, task, params, probe_batch, q_loader, t_loader, score_args
+    )
+    assert acc == 1
+
+
+def test_auto_accumulation_scores_match_explicit(tmp_path):
+    """Scores with auto block sizing are identical to explicit accumulation
+    (block size never affects results, only memory/speed — equivalence is the
+    SURVEY §4 oracle pattern)."""
+    from kronfluence_tpu.factor.covariance import fit_covariance_matrices_with_loader
+    from kronfluence_tpu.factor.eigen import (
+        fit_lambda_matrices_with_loader,
+        perform_eigendecomposition,
+    )
+    from kronfluence_tpu.score.pairwise import compute_pairwise_scores_with_loaders
+    from kronfluence_tpu.utils.dataset import BatchLoader
+
+    model, params = _seq_model()
+    task = SeqTask()
+    rng = np.random.default_rng(0)
+    train = {"x": rng.normal(size=(16, 4, 8)).astype(np.float32)}
+    query = {"x": rng.normal(size=(6, 4, 8)).astype(np.float32)}
+    factor_args = FactorArguments(
+        strategy="ekfac", use_empirical_fisher=True,
+        eigendecomposition_dtype="float64",
+    )
+    cov = fit_covariance_matrices_with_loader(
+        model, params, task, BatchLoader(train, 4), factor_args
+    )
+    eig = perform_eigendecomposition(cov, factor_args)
+    lam = fit_lambda_matrices_with_loader(
+        model, params, task, BatchLoader(train, 4), factor_args, eigen_factors=eig
+    )
+    factors = {**cov, **eig, **lam}
+
+    def run(acc):
+        return compute_pairwise_scores_with_loaders(
+            model, params, task, BatchLoader(query, 2), BatchLoader(train, 4),
+            factors, factor_args,
+            ScoreArguments(query_gradient_accumulation_steps=acc),
+        )["all_modules"]
+
+    explicit = run(1)
+    auto = run(None)
+    np.testing.assert_allclose(auto, explicit, rtol=1e-5, atol=1e-6)
+
+
 def test_computer_uses_probe_based_estimate(tmp_path, monkeypatch):
     """End-to-end: Computer._find_executable_batch_size shrinks the batch for
     long sequences via the analytic model (no env knobs)."""
