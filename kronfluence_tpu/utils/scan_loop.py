@@ -58,6 +58,8 @@ def scan_plan(loader, mesh) -> Optional[ScanPlan]:
 
     from kronfluence_tpu.utils.dataset import _is_device_column_store
 
+    if os.environ.get("KF_SCAN_DISABLE", "0") not in ("", "0"):
+        return None  # explicit opt-out (A/B measurement, debugging)
     if mesh is not None or jax.process_count() != 1:
         return None
     dataset = getattr(loader, "dataset", None)
@@ -90,12 +92,22 @@ def scan_plan(loader, mesh) -> Optional[ScanPlan]:
     required = base + num_batches * batch_size
     columns = dict(dataset)
     col_len = len(next(iter(columns.values())))
-    if required > col_len:
-        pad = required - col_len
-        columns = {
-            k: jnp.concatenate([v, jnp.repeat(v[:1], pad, axis=0)], axis=0)
-            for k, v in columns.items()
-        }
+    # Pad to a CANONICAL length that depends only on (col_len, batch_size) —
+    # never on the loader's index range. The superstep executable is compiled
+    # per column-store shape, so range-dependent padding would recompile
+    # between a warmup slice and the full run (the r03 bench lost ~70 s to
+    # exactly that: 146x32 = 4672 > 4656 rows padded a new shape mid-steady).
+    # One extra batch of slack covers every contiguous sub-range, including
+    # unaligned partition bases.
+    pad_len = ((col_len + batch_size - 1) // batch_size + 1) * batch_size
+    if required > pad_len:  # cannot happen for in-range contiguous indices
+        return None
+    columns = {
+        k: jnp.concatenate(
+            [v, jnp.repeat(v[:1], pad_len - col_len, axis=0)], axis=0
+        )
+        for k, v in columns.items()
+    }
     return ScanPlan(columns, int(batch_size), num_batches, nvalid, base)
 
 

@@ -79,6 +79,25 @@ class TestScanPlan:
         assert plan.num_batches == 2
         assert plan.nvalid.tolist() == [4, 4]
 
+    def test_padded_store_shape_is_range_independent(self):
+        """The padded column-store shape (= the superstep's compiled program
+        shape) must depend only on (dataset length, batch size) — a warmup
+        index-slice, the full range, and an unaligned partition range must all
+        share ONE executable. The r03 full bench paid a ~70 s mid-steady
+        recompile because 146x32 = 4672 > 4656 rows re-padded the store."""
+        data = _device_store(make_regression_data(100))
+        full = scan_plan(BatchLoader(data, 32), mesh=None)
+        warm = scan_plan(BatchLoader(data, 32, indices=range(64)), mesh=None)
+        part = scan_plan(BatchLoader(data, 32, indices=range(95, 100)), mesh=None)
+        shapes = [
+            {k: v.shape for k, v in p.columns.items()} for p in (full, warm, part)
+        ]
+        assert shapes[0] == shapes[1] == shapes[2]
+        # slack covers every contiguous range: required rows never exceed pad
+        for p in (full, warm, part):
+            need = p.base_index + p.num_batches * p.batch_size
+            assert all(len(v) >= need for v in p.columns.values())
+
     def test_run_scanned_pads_final_chunk_with_dummies(self):
         data = _device_store(make_regression_data(10))
         plan = scan_plan(BatchLoader(data, 4), mesh=None)
