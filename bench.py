@@ -244,11 +244,16 @@ def main():
     score_args = smart_low_precision_score_arguments()
     # Resolved to a concrete step count (auto or env override) before stage 4.
     score_args.query_gradient_accumulation_steps = QUERY_ACC or None
-    # KRON_BENCH_QUERY_STORAGE: store resident query blocks in this dtype
-    # (e.g. float8_e4m3fn halves the block footprint so ~2x the queries fit
-    # per block -> half the train passes; see ops/quantize.py). The fidelity
-    # mode below certifies its score correlation against fp32.
-    query_storage = os.environ.get("KRON_BENCH_QUERY_STORAGE", "") or None
+    # KRON_BENCH_QUERY_STORAGE: store resident query blocks in this dtype.
+    # float8_e4m3fn is the DEFAULT recipe: each train pass costs a full
+    # forward+backward over the train set, so halving the resident block's
+    # bytes doubles the queries amortizing each pass and nearly halves the
+    # score stage (see ops/quantize.py; scaled per (query, module)). The
+    # fidelity mode below certifies the fp8 recipe's score correlation
+    # against full fp32 on every recorded run. Set KRON_BENCH_QUERY_STORAGE=
+    # none for the unquantized bf16-block recipe.
+    query_storage = os.environ.get("KRON_BENCH_QUERY_STORAGE", "float8_e4m3fn")
+    query_storage = None if query_storage.lower() in ("", "none", "0") else query_storage
     if query_storage:
         from kronfluence_tpu.arguments import ScoreArguments
 
@@ -302,6 +307,9 @@ def main():
     force(eigen)
     stages["eigh"] = time.time() - t0
     log(f"eigendecomposition steady: {stages['eigh']:.1f}s")
+    # The raw covariances are dead weight from here on (~650 MB of HBM the
+    # lambda backward pass would otherwise compete with).
+    del cov
 
     # ---- Stage 3: lambda ----
     lam_data = make_data(N_LAMBDA, 3)
@@ -333,7 +341,7 @@ def main():
     # after which the raw factor arrays are freed (`factors.clear()`), exactly
     # matching the real path's scoring-time memory footprint.
     factors = {**eigen, **lam}
-    del cov, eigen, lam
+    del eigen, lam
 
     # Build + identity-cache the device precondition states now, then free
     # the raw factor arrays: scoring reads only the cached states, and the

@@ -48,14 +48,28 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     from jax.lax.linalg import eigh as lax_eigh
+    from jax._src.lax.linalg import EighImplementation
+
+    impl_enum = {
+        "qdwh": EighImplementation.QDWH,
+        "jacobi": EighImplementation.JACOBI,
+        "qr": EighImplementation.QR,
+    }
 
     log(f"devices: {jax.devices()}")
 
     def make_psd(x, n, seed):
-        r = np.random.default_rng(seed)
-        g = r.standard_normal((x, 2 * n, n)).astype(np.float32)
-        mats = np.einsum("xti,xtj->xij", g, g) / (2 * n)
-        return jax.device_put(jnp.asarray(mats))
+        # Generated ON DEVICE: the gram of a (2n, n) Gaussian is ~3e12 FLOPs
+        # at n=3073 x 24 — minutes on this host's 2 vCPUs, milliseconds on
+        # the MXU.
+        @jax.jit
+        def gen(key):
+            g = jax.random.normal(key, (x, 2 * n, n), jnp.float32)
+            return jnp.einsum(
+                "xti,xtj->xij", g, g,
+                preferred_element_type=jnp.float32) / (2 * n)
+
+        return gen(jax.random.PRNGKey(seed))
 
     for n in dims:
         x = GROUPS.get(n, 12)
@@ -70,7 +84,7 @@ def main():
                 if chunk > x:
                     continue
 
-                fn = jax.jit(lambda m, impl=impl: lax_eigh(
+                fn = jax.jit(lambda m, impl=impl_enum[impl]: lax_eigh(
                     m, implementation=impl, symmetrize_input=False))
                 try:
                     t0 = time.time()

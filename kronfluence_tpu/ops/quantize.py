@@ -100,3 +100,18 @@ def dequantize_gradient(pg: Any, dtype) -> Any:
     if isinstance(pg, QuantizedGradient):
         return pg.dequantize(dtype)
     return pg
+
+
+def concat_quantized(chunks) -> QuantizedGradient:
+    """Concatenates quantized chunks along the query axis, staying quantized.
+
+    Each chunk keeps its own per-query scales, so the merge is exact — no
+    requantization. The transient peak is 2x ONE module's low-precision
+    payload (vs 2x the dense block for concatenating dequantized chunks),
+    which is why the score driver merges quantized blocks but keeps dense
+    bf16 chunks separate: merging turns the train step's per-chunk thin
+    (q_chunk, b) contractions into one full-block GEMM per module."""
+    return QuantizedGradient(
+        jnp.concatenate([c.data for c in chunks], axis=0),
+        jnp.concatenate([c.scale for c in chunks], axis=0),
+    )

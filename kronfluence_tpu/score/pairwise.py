@@ -265,14 +265,24 @@ def resolve_query_accumulation(
 
 def _collect_blocks(blocks: List[Dict[str, Any]]) -> Dict[str, List[Any]]:
     """Groups per-module query gradients across accumulation steps
-    (reference: tracker/precondition.py:216-240 concatenates; here the chunks
-    stay separate — materializing the concatenation alongside the chunks
-    would transiently double the query block's HBM footprint, the largest
-    resident of the whole score stage. The train step contracts each chunk
-    and concatenates the (q_chunk, b) score slabs instead, which are tiny)."""
+    (reference: tracker/precondition.py:216-240 concatenates; here DENSE
+    chunks stay separate — materializing their concatenation alongside the
+    chunks would transiently double the query block's HBM footprint, the
+    largest resident of the whole score stage; the train step contracts each
+    chunk and concatenates the (q_chunk, b) score slabs instead, which are
+    tiny. QUANTIZED chunks (query_gradient_storage_dtype) ARE merged along
+    the query axis: their payload is 1-2 bytes/element so the transient is
+    one module's payload, and the merge replaces many thin per-chunk
+    contractions (q_chunk rows barely fill the MXU) with one full-block GEMM
+    per module per train batch."""
+    from kronfluence_tpu.ops.quantize import QuantizedGradient, concat_quantized
+
     out: Dict[str, List[Any]] = {}
     for name in blocks[0]:
-        out[name] = [b[name] for b in blocks]
+        chunks = [b[name] for b in blocks]
+        if len(chunks) > 1 and isinstance(chunks[0], QuantizedGradient):
+            chunks = [concat_quantized(chunks)]
+        out[name] = chunks
     return out
 
 
@@ -391,6 +401,7 @@ def compute_pairwise_scores_with_loaders(
                 ),
             )
             pending = []
+            yielded_full = False
             rng = jax.random.PRNGKey(0)
             for idx, (batch, valid_dev) in enumerate(device_prefetch(query_loader, mesh)):
                 pending.append(
@@ -400,9 +411,21 @@ def compute_pairwise_scores_with_loaders(
                     )
                 )
                 if len(pending) == accumulation:
+                    yielded_full = True
                     yield _collect_blocks(pending)
                     pending = []
             if pending:
+                # Pad a trailing partial block to the full chunk count by
+                # repeating its last chunk (same device buffers, no
+                # recompute): the train superstep is compiled per block
+                # structure/shape, so a differently-sized final block would
+                # trigger a fresh ~minute compile for one pass. The duplicate
+                # score rows land past `num_examples` and are trimmed at
+                # assembly. Skipped when no full block exists (nothing is
+                # compiled at full size, so padding would only waste work).
+                if yielded_full:
+                    while len(pending) < accumulation:
+                        pending.append(pending[-1])
                 yield _collect_blocks(pending)
 
     if score_args.aggregate_train_gradients:

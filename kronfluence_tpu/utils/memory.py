@@ -242,6 +242,15 @@ def max_queries_per_block(
     per_token = bool(getattr(score_args, "compute_per_token_scores", False))
     per_query_scores = num_train * (tokens if per_token else 1) * score_b
     per_query = query_block_bytes(probes, score_args, 1) + per_query_scores
+    if getattr(score_args, "query_gradient_storage_dtype", None) is not None:
+        # Quantized blocks are dequantized one module at a time inside the
+        # train step; the dense transient (current + next module being built)
+        # scales with the block's query count.
+        max_module_oi = max(
+            (p.spec.activation_dim * p.spec.gradient_dim for p in probes.values()),
+            default=0,
+        )
+        per_query += 2 * max_module_oi * psg_b
     if per_query <= 0:
         return max_queries
     return max(1, min(max_queries, int(budget // per_query)))

@@ -107,6 +107,47 @@ def test_invalid_storage_dtype_rejected():
         ScoreArguments(query_gradient_storage_dtype="int8")
 
 
+def test_concat_quantized_is_exact():
+    """Merging quantized chunks along the query axis keeps each query's own
+    scale — dequantization must match the per-chunk dequantizations exactly."""
+    from kronfluence_tpu.ops.quantize import concat_quantized
+
+    rng = np.random.default_rng(0)
+    chunks = [
+        quantize_gradient(
+            jnp.asarray(rng.standard_normal((q, 4, 3)) * 10.0 ** rng.integers(-3, 3),
+                        jnp.float32),
+            jnp.float8_e4m3fn,
+        )
+        for q in (2, 3, 1)
+    ]
+    merged = concat_quantized(chunks)
+    assert merged.shape == (6, 4, 3)
+    expect = np.concatenate([np.asarray(c.dequantize(jnp.float32)) for c in chunks])
+    np.testing.assert_array_equal(np.asarray(merged.dequantize(jnp.float32)), expect)
+
+
+def test_collect_blocks_merges_quantized_keeps_dense_separate():
+    """The block collector merges quantized chunks into one full-block GEMM
+    operand but leaves dense chunks chunked (concatenating dense chunks would
+    transiently double the stage's largest resident)."""
+    from kronfluence_tpu.score.pairwise import _collect_blocks
+
+    dense = [jnp.ones((2, 4, 3)), jnp.ones((2, 4, 3))]
+    quant = [
+        quantize_gradient(jnp.ones((2, 4, 3), jnp.float32), jnp.float8_e4m3fn)
+        for _ in range(2)
+    ]
+    out = _collect_blocks([
+        {"dense_mod": dense[0], "quant_mod": quant[0]},
+        {"dense_mod": dense[1], "quant_mod": quant[1]},
+    ])
+    assert len(out["dense_mod"]) == 2
+    assert len(out["quant_mod"]) == 1
+    assert isinstance(out["quant_mod"][0], QuantizedGradient)
+    assert out["quant_mod"][0].shape == (4, 4, 3)
+
+
 def test_fp8_scores_track_exact_scores(setup):
     exact = _scores(setup)[ALL_MODULE_NAME]
     fp8 = _scores(setup, query_gradient_storage_dtype="float8_e4m3fn")[ALL_MODULE_NAME]
