@@ -23,25 +23,34 @@ from kronfluence_tpu.utils.platform import enable_persistent_cache
 enable_persistent_cache()
 
 which = sys.argv[1] if len(sys.argv) > 1 else "both"
-if which not in ("qdwh", "jacobi", "both"):
+if which not in ("qdwh", "jacobi", "both", "qdwh_mp"):
     print(
         f"unknown solver {which!r}\n"
-        "Usage: python benchmarks/micro_eigh_groups.py [qdwh|jacobi|both]",
+        "Usage: python benchmarks/micro_eigh_groups.py "
+        "[qdwh|jacobi|both|qdwh_mp]\n"
+        "  qdwh_mp: QDWH under jax.default_matmul_precision('high') — "
+        "bf16_3x matmul passes instead of fp32; prints eigenvalue error vs "
+        "the default-precision solve.",
         file=sys.stderr,
     )
     sys.exit(2)
-
-rng = np.random.default_rng(0)
 
 GROUPS = [(60, 769), (12, 2304), (24, 3073)]
 
 
 def make(b, n):
-    g = rng.standard_normal((b, n, max(n // 2, 8))).astype(np.float32)
-    scale = np.exp(rng.uniform(-6, 2, size=(b, n, 1))).astype(np.float32)
-    m = np.einsum("bik,bjk->bij", g * scale, g * scale)
-    m += 1e-4 * np.eye(n, dtype=np.float32)
-    return jnp.asarray(m)
+    # On-device generation: the (b, n, n/2) gram is ~7e11 FLOPs at the 3073
+    # group — minutes on this host's 2 vCPUs, milliseconds on the MXU.
+    @jax.jit
+    def gen(key):
+        kg, ks = jax.random.split(key)
+        g = jax.random.normal(kg, (b, n, max(n // 2, 8)), jnp.float32)
+        scale = jnp.exp(jax.random.uniform(ks, (b, n, 1), minval=-6.0, maxval=2.0))
+        gs = g * scale
+        m = jnp.einsum("bik,bjk->bij", gs, gs, preferred_element_type=jnp.float32)
+        return m + 1e-4 * jnp.eye(n, dtype=jnp.float32)
+
+    return gen(jax.random.PRNGKey(n + b))
 
 
 def bench(name, fn, A):
@@ -68,6 +77,20 @@ for b, n in GROUPS:
 
         totals.setdefault("qdwh", 0.0)
         totals["qdwh"] += bench(f"qdwh ({b},{n})", eigh_stock_batched, A)
+    if which == "qdwh_mp":
+        from kronfluence_tpu.ops.eigh import eigh_stock_batched
+
+        def mp_solve(M):
+            with jax.default_matmul_precision("high"):
+                return eigh_stock_batched(M)
+
+        totals.setdefault("qdwh_mp", 0.0)
+        totals["qdwh_mp"] += bench(f"qdwh_mp ({b},{n})", mp_solve, A)
+        ev_mp = np.asarray(mp_solve(A)[0][0], np.float64)
+        ev_ref = np.asarray(eigh_stock_batched(A)[0][0], np.float64)
+        rel = float(np.max(np.abs(ev_mp - ev_ref)) / max(1.0, np.max(np.abs(ev_ref))))
+        print(f"  qdwh_mp ({b},{n}) eigenvalue relerr vs fp32 qdwh: {rel:.2e}",
+              file=sys.stderr, flush=True)
     if which in ("jacobi", "both"):
         from kronfluence_tpu.ops.eigh import eigh_batched
 

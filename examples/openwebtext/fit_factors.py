@@ -116,6 +116,12 @@ def main():
     for f in sorted(Path(analyzer.factors_output_dir("ekfac")).glob("*.safetensors")):
         print(" ", f.name)
     print(analyzer.profiler.summary())
+    stats = getattr(jax.devices()[0], "memory_stats", lambda: None)() or {}
+    if stats:
+        print(
+            f"peak HBM: {stats.get('peak_bytes_in_use', 0) / 2**30:.2f} GiB "
+            f"of {stats.get('bytes_limit', 0) / 2**30:.2f} GiB"
+        )
 
 
 if __name__ == "__main__":

@@ -110,6 +110,28 @@ _FACTOR_PAIRS = (
 )
 
 
+@partial(jax.jit, static_argnames=("dims", "dtype_names"))
+def _split_group_results(evals, evecs, dims, dtype_names):
+    """Batched (x, target[, target]) solver outputs -> per-module arrays in
+    ONE dispatch. The per-module slice/renormalize/cast ops used to run as
+    ~4 separate device calls per matrix — ~400 dispatches for GPT-2's 96
+    factor matrices, several seconds of pure round-trip latency on a
+    tunneled backend (measured: the stage ran 13.7 s while the batched
+    solves alone take 9.1 s)."""
+    target = evecs.shape[-1]
+    out = []
+    for i, (dim, dtype_name) in enumerate(zip(dims, dtype_names)):
+        ev, vec = evals[i], evecs[i]
+        if dim != target:
+            # True eigenpairs sort first (ascending); their vectors'
+            # padded-row components are ~eps. Slice and renormalize.
+            ev = ev[:dim]
+            vec = vec[:dim, :dim]
+            vec = vec / jnp.linalg.norm(vec, axis=0, keepdims=True)
+        out.append((ev.astype(dtype_name), vec.astype(dtype_name)))
+    return tuple(out)
+
+
 def _device_eigendecomposition(covariance_factors, eigen_factors, solver="auto") -> None:
     """fp32 on-device path: normalization, symmetrization, and the eigensolver
     all run on the accelerator, batched over same-dimension factor matrices;
@@ -177,18 +199,16 @@ def _device_eigendecomposition(covariance_factors, eigen_factors, solver="auto")
             parts.append(_normalize_pad_stacked(stacked, counts, target))
         normalized = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         evals, evecs = solve(normalized)
-        for i, (pair_idx, module_name, dim) in enumerate(order):
-            cov_name, _count, evec_name, eval_name = _FACTOR_PAIRS[pair_idx]
-            out_dtype = jnp.asarray(covariance_factors[cov_name][module_name]).dtype
-            ev, vec = evals[i], evecs[i]
-            if dim != target:
-                # True eigenpairs sort first (ascending); their vectors'
-                # padded-row components are ~eps. Slice and renormalize.
-                ev = ev[:dim]
-                vec = vec[:dim, :dim]
-                vec = vec / jnp.linalg.norm(vec, axis=0, keepdims=True)
-            eigen_factors[eval_name][module_name] = ev.astype(out_dtype)
-            eigen_factors[evec_name][module_name] = vec.astype(out_dtype)
+        dims = tuple(dim for _pair, _name, dim in order)
+        dtype_names = tuple(
+            str(jnp.asarray(covariance_factors[_FACTOR_PAIRS[p][0]][n]).dtype)
+            for p, n, _d in order
+        )
+        split = _split_group_results(evals, evecs, dims, dtype_names)
+        for (pair_idx, module_name, _dim), (ev, vec) in zip(order, split):
+            _cov, _count, evec_name, eval_name = _FACTOR_PAIRS[pair_idx]
+            eigen_factors[eval_name][module_name] = ev
+            eigen_factors[evec_name][module_name] = vec
 
 
 def _host_eigendecomposition(covariance_factors, eigen_factors, dtype_name) -> None:

@@ -41,8 +41,9 @@ end of the ascending order and are sliced off.
 """
 
 import math
+import os
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -288,7 +289,7 @@ def _blocked_jacobi_eigh(
 
 
 def eigh_stock_batched(
-    matrices: jax.Array, budget_elems: int = 48_000_000
+    matrices: jax.Array, budget_elems: Optional[int] = None
 ) -> Tuple[jax.Array, jax.Array]:
     """Batched symmetric eigendecomposition via XLA's built-in `eigh` (QDWH
     spectral divide-and-conquer), chunked to bound peak HBM.
@@ -310,6 +311,11 @@ def eigh_stock_batched(
     # Chunks are sized EVENLY (12 -> 4+4+4, not 5+5+2) so every chunk shares
     # one compiled executable — QDWH compiles are minutes per shape.
     x = A.shape[0]
+    if budget_elems is None:
+        # KF_EIGH_BUDGET_ELEMS tunes the chunk/HBM trade (A/B measurement:
+        # benchmarks/micro_eigh_groups.py); default keeps QDWH workspaces
+        # well clear of resident factor state.
+        budget_elems = int(os.environ.get("KF_EIGH_BUDGET_ELEMS", 48_000_000))
     chunk_max = max(1, min(x, budget_elems // (n * n)))
     n_chunks = -(-x // chunk_max)
     chunk = -(-x // n_chunks)
