@@ -84,8 +84,10 @@ def main():
                 if chunk > x:
                     continue
 
+                # lax.linalg.eigh returns (eigenvectors, eigenvalues) — the
+                # reverse of jnp.linalg.eigh.
                 fn = jax.jit(lambda m, impl=impl_enum[impl]: lax_eigh(
-                    m, implementation=impl, symmetrize_input=False))
+                    m, implementation=impl, symmetrize_input=False)[::-1])
                 try:
                     t0 = time.time()
                     ev, vec = fn(mats[:chunk])

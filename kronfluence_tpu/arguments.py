@@ -69,18 +69,18 @@ class FactorArguments(Arguments):
     # float32 runs on-device.
     eigendecomposition_dtype: Any = "float64"
     # On-device solver (TPU extension, no reference analogue): "qdwh" uses
-    # XLA's built-in eigh (solves each matrix of a batch sequentially;
-    # one-time multi-minute compile per shape, persisted in the compilation
-    # cache); "dc" uses the host-driven batched spectral divide-and-conquer
+    # XLA's built-in eigh (batched per merged dim group; one-time
+    # multi-minute compile per shape, persisted in the compilation cache);
+    # "dc" uses the host-driven batched spectral divide-and-conquer
     # (ops/eigh_dc.py — Newton-Schulz sign iterations, batched over all
     # same-shape factor matrices); "jacobi" uses the blocked-Jacobi solver
-    # (ops/eigh.py). "auto" resolves to "qdwh": measured on the v5e
-    # (2026-08-18, GPT-2's five dim groups), QDWH runs 13.2 s steady after a
-    # ~108 s one-time compile, while "dc" took 612 s to warm up and did not
-    # finish a steady solve within 580 s — its host-driven recursion is
-    # dominated by per-dispatch latency on this backend. "dc" remains the
-    # Llama-scale (>= LARGE_EIGH_DIM) solver, where a 14336-dim QDWH is
-    # infeasible to compile. Ignored by the float64 host path.
+    # (ops/eigh.py). "auto" resolves to "qdwh" — measured comparisons and
+    # per-group timings are recorded in benchmarks/README.md (QDWH solves
+    # GPT-2's three merged groups in ~9 s steady; "dc" lost its A/B on this
+    # backend: host-driven recursion is dominated by per-dispatch latency).
+    # "dc" remains the Llama-scale (>= LARGE_EIGH_DIM) solver, where a
+    # 14336-dim QDWH is infeasible to compile. Ignored by the float64 host
+    # path.
     eigendecomposition_solver: str = "auto"
 
     # Lambda-matrix configuration.
