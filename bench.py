@@ -245,14 +245,13 @@ def main():
     # Resolved to a concrete step count (auto or env override) before stage 4.
     score_args.query_gradient_accumulation_steps = QUERY_ACC or None
     # KRON_BENCH_QUERY_STORAGE: store resident query blocks in this dtype.
-    # float8_e4m3fn is the DEFAULT recipe: each train pass costs a full
-    # forward+backward over the train set, so halving the resident block's
-    # bytes doubles the queries amortizing each pass and nearly halves the
-    # score stage (see ops/quantize.py; scaled per (query, module)). The
-    # fidelity mode below certifies the fp8 recipe's score correlation
-    # against full fp32 on every recorded run. Set KRON_BENCH_QUERY_STORAGE=
-    # none for the unquantized bf16-block recipe.
-    query_storage = os.environ.get("KRON_BENCH_QUERY_STORAGE", "float8_e4m3fn")
+    # float8_e4m3fn halves the resident block's bytes, so about twice the
+    # queries amortize each train pass (see ops/quantize.py; scaled per
+    # (query, module)). It is NOT the default recipe: the default stays the
+    # recorded-green unquantized bf16-block run; the fp8 A/B is run explicitly
+    # via KRON_BENCH_QUERY_STORAGE=float8_e4m3fn and certified by the
+    # fidelity mode below before any default flip.
+    query_storage = os.environ.get("KRON_BENCH_QUERY_STORAGE", "none")
     query_storage = None if query_storage.lower() in ("", "none", "0") else query_storage
     if query_storage:
         from kronfluence_tpu.arguments import ScoreArguments
