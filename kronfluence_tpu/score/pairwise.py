@@ -154,6 +154,28 @@ def _make_train_apply(model, task, tracked, score_args, per_module):
         return score
 
     def train_apply(params, batch, valid, query_block):
+        # Tie quantized query chunks to the loop-varying `valid` with ONE
+        # optimization barrier. Inside the scanned train loop
+        # (utils/scan_loop.py) the block is loop-invariant, and without the
+        # barrier XLA's while-loop LICM hoists every module's
+        # `dequantize_gradient` out of the scan — materializing ALL dense
+        # blocks at once ON TOP of the quantized payloads (~3x the block
+        # budget; OOMed the full GPT-2 bench). Barrier operands include
+        # `valid` (loop-varying), so the barrier and everything downstream
+        # of its outputs stay inside the loop body and only one module's
+        # dense block is ever transiently live, as the storage format
+        # intends. Dense (unquantized) blocks skip the barrier: hoisting
+        # their one-time cast out of the loop is the desired behavior.
+        from kronfluence_tpu.ops.quantize import QuantizedGradient
+
+        if any(
+            isinstance(pg, QuantizedGradient)
+            for chunks in query_block.values()
+            for pg in chunks
+        ):
+            valid, query_block = jax.lax.optimization_barrier(
+                (valid, query_block)
+            )
         params = cast_params(params, amp_dtype)
         forward = train_loss_forward(
             model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)

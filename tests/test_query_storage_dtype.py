@@ -228,6 +228,52 @@ def test_fp8_storage_through_scanned_train_loop(setup):
     np.testing.assert_allclose(scanned, per_batch, rtol=1e-6, atol=1e-8)
 
 
+def test_quantized_blocks_barriered_in_scanned_loop(setup):
+    """Quantized query chunks must be tied to the loop iteration with an
+    optimization barrier inside the train step: without it, XLA's while-loop
+    LICM hoists every module's dequantize out of the scanned train loop
+    (utils/scan_loop.py), materializing ALL dense blocks at once on top of
+    the quantized payloads — the exact OOM float8 storage exists to prevent
+    (observed on the full GPT-2 bench). Dense blocks must NOT be barriered:
+    hoisting their one-time cast out of the loop is the desired behavior."""
+    from kronfluence_tpu.score.pairwise import _make_train_apply
+    from kronfluence_tpu.utils.scan_loop import scanned_map_superstep
+    from kronfluence_tpu.factor.covariance import discover_stage_specs
+
+    model, params, task, train, query, factors, factor_args = setup
+    probe = {k: jnp.asarray(v[:5]) for k, v in train.items()}
+    specs = discover_stage_specs(model, task, params, probe, None)
+
+    def block(storage_dtype):
+        out = {}
+        for name, spec in specs.items():
+            psg = jnp.full(
+                (4, spec.out_dim, spec.in_dim + int(spec.has_bias)),
+                0.5,
+                jnp.float32,
+            )
+            out[name] = [
+                quantize_gradient(psg, storage_dtype) if storage_dtype else psg
+            ]
+        return out
+
+    apply = _make_train_apply(model, task, None, ScoreArguments(), False)
+    superstep = scanned_map_superstep(
+        lambda b, v, p, qb: apply(p, b, v, qb), 5
+    )
+    cols = {k: jnp.asarray(v) for k, v in train.items()}
+    starts = np.zeros(2, np.int32)
+    nvalids = np.full(2, 5, np.int32)
+    quant_text = superstep.lower(
+        cols, starts, nvalids, params, block("float8_e4m3fn")
+    ).as_text()
+    dense_text = superstep.lower(
+        cols, starts, nvalids, params, block(None)
+    ).as_text()
+    assert "optimization_barrier" in quant_text
+    assert "optimization_barrier" not in dense_text
+
+
 def test_computer_strips_storage_dtype_for_aggregated_or_low_rank(tmp_path):
     """Analyzer-level flag validation: storage dtype is dropped (with a
     warning) when the block is already small (aggregated / low-rank)."""
