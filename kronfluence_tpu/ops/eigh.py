@@ -288,6 +288,23 @@ def _blocked_jacobi_eigh(
     return evals, W
 
 
+_STOCK_EIGH_JIT = None
+
+
+def _stock_eigh_jit():
+    """Module-level jitted `jnp.linalg.eigh` singleton.
+
+    A fresh `jax.jit(jnp.linalg.eigh)` per call would create a new PjitFunction
+    whose in-memory executable cache starts empty: every steady-state
+    eigendecomposition would then re-key through the persistent compilation
+    cache (hashing + deserializing the ~80 MB QDWH executables), costing real
+    seconds per stage invocation on a tunneled backend."""
+    global _STOCK_EIGH_JIT
+    if _STOCK_EIGH_JIT is None:
+        _STOCK_EIGH_JIT = jax.jit(jnp.linalg.eigh)
+    return _STOCK_EIGH_JIT
+
+
 def eigh_stock_batched(
     matrices: jax.Array, budget_elems: Optional[int] = None
 ) -> Tuple[jax.Array, jax.Array]:
@@ -320,7 +337,7 @@ def eigh_stock_batched(
     n_chunks = -(-x // chunk_max)
     chunk = -(-x // n_chunks)
     ev_parts, vec_parts = [], []
-    f = jax.jit(jnp.linalg.eigh)
+    f = _stock_eigh_jit()
     for start in range(0, x, chunk):
         part = A[start : start + chunk]
         pad = chunk - part.shape[0]

@@ -47,6 +47,7 @@ from kronfluence_tpu.task import Task
 from kronfluence_tpu.utils.constants import ALL_MODULE_NAME
 from kronfluence_tpu.utils.dtypes import resolve_dtype
 from kronfluence_tpu.utils.jit_cache import cached_step, tracked_key
+from kronfluence_tpu.utils.memory import log_hbm
 from kronfluence_tpu.utils.platform import fetch_tree
 
 
@@ -100,6 +101,12 @@ def _build_query_step(model, task, tracked, score_args, strategy, mesh=None):
     return query_step
 
 
+def _is_quantized(chunks) -> bool:
+    from kronfluence_tpu.ops.quantize import QuantizedGradient
+
+    return any(isinstance(pg, QuantizedGradient) for pg in chunks)
+
+
 def _make_train_apply(model, task, tracked, score_args, per_module):
     """Pure per-batch train scoring body shared by the jitted step and the
     scanned loop: (params, batch, valid, query_block) -> per-module slabs."""
@@ -110,9 +117,37 @@ def _make_train_apply(model, task, tracked, score_args, per_module):
     amp_dtype = score_args.amp_dtype
     remat = score_args.offload_activations_to_cpu
 
-    def _chunk_score_psg(train_psg, pg):
+    def _tie_chunk_to_loop(valid, pg):
+        """Keep ONE quantized chunk's dequantize inside the scanned train loop.
+
+        Inside the scanned loop (utils/scan_loop.py) the query block is
+        loop-invariant, and XLA's while-loop LICM hoists every module's
+        `dequantize_gradient` out of the body — materializing ALL dense
+        blocks at once ON TOP of the quantized payloads (~3x the block
+        budget; OOMed the full GPT-2 bench). An optimization barrier whose
+        operands include the loop-varying `valid` pins the chunk's payload
+        (and hence its dequantize) inside the body. The barrier is applied
+        PER CHUNK, not to the whole block at once: a single whole-block
+        barrier makes the entire multi-GB block a body-local value, and the
+        resulting per-iteration copy re-created the OOM it was meant to fix
+        (measured: fp8 72-query block, full GPT-2 bench). Per-chunk, the
+        transient is one module's chunk (~tens of MB), freed at its consumer.
+        Dense (unquantized) chunks are returned untouched: hoisting their
+        one-time cast out of the loop is the desired behavior."""
+        from kronfluence_tpu.ops.quantize import QuantizedGradient
+
+        if isinstance(pg, QuantizedGradient):
+            _, data, scale = jax.lax.optimization_barrier(
+                (valid, pg.data, pg.scale)
+            )
+            return QuantizedGradient(data, scale)
+        # Low-rank (left, right) tuples are never quantized: the storage
+        # dtype is stripped for low-rank blocks at the Analyzer level.
+        return pg
+
+    def _chunk_score_psg(train_psg, valid, pg):
         """Score slab against materialized train per-sample gradients."""
-        pg = dequantize_gradient(pg, psg_dtype)
+        pg = dequantize_gradient(_tie_chunk_to_loop(valid, pg), psg_dtype)
         if isinstance(pg, tuple):
             left, right = pg
             return jnp.einsum(
@@ -129,7 +164,7 @@ def _make_train_apply(model, task, tracked, score_args, per_module):
 
         Quantized chunks are dequantized here, per module: only one module's
         dense block is transiently live, preserving the storage saving."""
-        pg = dequantize_gradient(pg, psg_dtype)
+        pg = dequantize_gradient(_tie_chunk_to_loop(valid, pg), psg_dtype)
         if post_process:
             # Post-processed train gradients must be materialized
             # (reference: pairwise_score.py:95-103), for BOTH dense and
@@ -154,42 +189,29 @@ def _make_train_apply(model, task, tracked, score_args, per_module):
         return score
 
     def train_apply(params, batch, valid, query_block):
-        # Tie quantized query chunks to the loop-varying `valid` with ONE
-        # optimization barrier. Inside the scanned train loop
-        # (utils/scan_loop.py) the block is loop-invariant, and without the
-        # barrier XLA's while-loop LICM hoists every module's
-        # `dequantize_gradient` out of the scan — materializing ALL dense
-        # blocks at once ON TOP of the quantized payloads (~3x the block
-        # budget; OOMed the full GPT-2 bench). Barrier operands include
-        # `valid` (loop-varying), so the barrier and everything downstream
-        # of its outputs stay inside the loop body and only one module's
-        # dense block is ever transiently live, as the storage format
-        # intends. Dense (unquantized) blocks skip the barrier: hoisting
-        # their one-time cast out of the loop is the desired behavior.
-        from kronfluence_tpu.ops.quantize import QuantizedGradient
-
-        if any(
-            isinstance(pg, QuantizedGradient)
-            for chunks in query_block.values()
-            for pg in chunks
-        ):
-            valid, query_block = jax.lax.optimization_barrier(
-                (valid, query_block)
-            )
         params = cast_params(params, amp_dtype)
         forward = train_loss_forward(
             model, task, params, batch, sample=False, rng=jax.random.PRNGKey(0)
         )
         _, captures = capture(forward, tracked, remat=remat)
         per_module_scores = {}
+        # Serialization token for quantized blocks: module k's dequantize is
+        # barrier-tied to module k-1's finished score slab, so XLA's scheduler
+        # cannot materialize several modules' dense blocks concurrently. The
+        # per-chunk barrier alone only keeps each dequantize *inside* the
+        # loop body; the scheduler was still free to run all 48 dequantizes
+        # up front — ~12 GB of dense blocks live at once on top of the
+        # quantized payloads (OOMed the fp8 full GPT-2 bench twice). `valid`
+        # is loop-varying, so the chain also defeats while-loop LICM.
+        token = valid
         for name, cap in captures.items():
             chunks = query_block[name]  # list: one entry per accumulation step
             if len(chunks) == 1:
-                slabs = [_chunk_score(cap, name, valid, chunks[0])]
+                slabs = [_chunk_score(cap, name, token, chunks[0])]
             elif per_token:
                 # Rare combination; the q-independent intermediate for
                 # per-token scores is (b, t, o, i) — too large to hoist.
-                slabs = [_chunk_score(cap, name, valid, pg) for pg in chunks]
+                slabs = [_chunk_score(cap, name, token, pg) for pg in chunks]
             else:
                 # Hoist the q-independent per-sample gradients out of the
                 # chunk loop: the (b, t, o/i) -> (b, o, i) contraction is the
@@ -197,10 +219,11 @@ def _make_train_apply(model, task, tracked, score_args, per_module):
                 train_psg = module_per_sample_gradients(
                     cap, valid, psg_dtype, task if post_process else None, name
                 )
-                slabs = [_chunk_score_psg(train_psg, pg) for pg in chunks]
-            per_module_scores[name] = (
-                slabs[0] if len(slabs) == 1 else jnp.concatenate(slabs, axis=0)
-            )
+                slabs = [_chunk_score_psg(train_psg, token, pg) for pg in chunks]
+            slab = slabs[0] if len(slabs) == 1 else jnp.concatenate(slabs, axis=0)
+            if _is_quantized(chunks):
+                token, slab = jax.lax.optimization_barrier((token, slab))
+            per_module_scores[name] = slab
         if per_module:
             return per_module_scores
         total = None
@@ -248,7 +271,7 @@ def _build_summed_gradient_step(
 
 def resolve_query_accumulation(
     model, task, params, probe_batch, query_loader, train_loader, score_args,
-    tracked_names=None,
+    tracked_names=None, reserve_bytes: float = 0.0,
 ) -> int:
     """Memory-model choice of `query_gradient_accumulation_steps`.
 
@@ -274,6 +297,7 @@ def resolve_query_accumulation(
         params=params,
         train_batch_size=getattr(train_loader, "batch_size", None) or 1,
         num_train=getattr(train_loader, "num_examples", 0) or 0,
+        reserve_bytes=reserve_bytes,
     )
     num_query_batches = -(-query_loader.num_examples // query_bs)
     accumulation = max(1, min(block_q // query_bs, num_query_batches))
@@ -538,8 +562,10 @@ def compute_pairwise_scores_with_loaders(
                 query_block = next(block_iter)
             except StopIteration:
                 break
+        log_hbm("pairwise: query block resident")
         with profiler.profile("Pairwise: train pass"):
             chunks_per_block.append(train_pass(query_block))
+        log_hbm("pairwise: train pass done")
         # Drop the block BEFORE the generator builds the next one: the block
         # is ~budget-sized by design, so keeping the old one referenced while
         # the next block's query steps are enqueued transiently doubles the

@@ -15,6 +15,7 @@ with the true workload shape.
 """
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -209,9 +210,15 @@ def max_queries_per_block(
     train_batch_size: int = 1,
     num_train: int = 0,
     budget_bytes: Optional[float] = None,
+    reserve_bytes: float = 0.0,
     max_queries: int = 4096,
 ) -> int:
     """Largest query count whose resident block fits alongside the train pass.
+
+    `reserve_bytes` subtracts caller-known residents the model cannot see —
+    e.g. a second precondition-state cache kept live for a fidelity
+    comparison run (the unmodeled ~1.6 GB that OOMed the first fp8 full
+    bench).
 
     Models the full pairwise working set: `static_bytes` (params +
     precondition state), one train batch's capture streams and hoisted
@@ -227,7 +234,7 @@ def max_queries_per_block(
     if budget_bytes is None:
         limit = _device_hbm_limit()
         budget_bytes = limit * PAIRWISE_BUDGET_FRACTION
-    budget = budget_bytes - static_bytes(probes, "pairwise", params)
+    budget = budget_bytes - reserve_bytes - static_bytes(probes, "pairwise", params)
     remat = bool(getattr(score_args, "offload_activations_to_cpu", False))
     amp = getattr(score_args, "amp_dtype", None)
     capture_b = _dtype_bytes(resolve_dtype(amp)) if amp is not None else 4
@@ -254,6 +261,28 @@ def max_queries_per_block(
     if per_query <= 0:
         return max_queries
     return max(1, min(max_queries, int(budget // per_query)))
+
+
+def log_hbm(label: str) -> None:
+    """Logs live/peak HBM when KF_MEM_LOG=1 (observability for OOM hunts).
+
+    `memory_stats()` is a host round-trip on tunneled backends — keep this
+    behind the env gate, never in steady-state timing paths by default."""
+    if not os.environ.get("KF_MEM_LOG"):
+        return
+    import sys
+
+    device = jax.devices()[0]
+    stats = getattr(device, "memory_stats", lambda: None)() or {}
+    print(
+        "HBM[%s]: in_use %.2f GB, peak %.2f GB, limit %.2f GB" % (
+            label,
+            stats.get("bytes_in_use", 0) / 1024**3,
+            stats.get("peak_bytes_in_use", 0) / 1024**3,
+            stats.get("bytes_limit", 0) / 1024**3,
+        ),
+        file=sys.stderr, flush=True,
+    )
 
 
 def _device_hbm_limit() -> float:

@@ -245,6 +245,40 @@ def test_block_sizer_rejects_the_r02_oom_configuration():
     assert query_block_bytes(probes, score_args, 2 * 56) > budget
 
 
+def test_block_sizer_honors_reserve_bytes():
+    """`reserve_bytes` (caller-known residents the model cannot see, e.g. the
+    bench's second fp32 precondition-state cache kept live for the fidelity
+    comparison) must shrink the picked block: the first fp8 full bench OOMed
+    because that ~1.6 GB resident was unmodeled."""
+    from kronfluence_tpu.utils.memory import (
+        PAIRWISE_BUDGET_FRACTION,
+        max_queries_per_block,
+    )
+    from kronfluence_tpu.utils.common.score_arguments import (
+        smart_low_precision_score_arguments,
+    )
+
+    probes = _gpt2_probes()
+    score_args = smart_low_precision_score_arguments()
+    score_args.query_gradient_storage_dtype = "float8_e4m3fn"
+    budget = 16 * 1024**3 * PAIRWISE_BUDGET_FRACTION
+    base = max_queries_per_block(
+        probes, score_args, train_batch_size=16, num_train=4656,
+        budget_bytes=budget,
+    )
+    fp32_cache = static_bytes(probes, "pairwise")
+    reserved = max_queries_per_block(
+        probes, score_args, train_batch_size=16, num_train=4656,
+        budget_bytes=budget, reserve_bytes=fp32_cache,
+    )
+    assert reserved < base
+    # The shrink matches the reserve: (base - reserved) queries' worth of
+    # block bytes should roughly cover the reserved resident.
+    from kronfluence_tpu.utils.memory import query_block_bytes
+
+    assert query_block_bytes(probes, score_args, base - reserved) >= fp32_cache * 0.5
+
+
 def test_auto_accumulation_resolves_from_memory_model(monkeypatch):
     """End-to-end: `query_gradient_accumulation_steps=None` resolves via the
     memory model and is capped at the number of query batches."""
