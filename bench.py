@@ -129,19 +129,11 @@ def _require_reachable_devices(timeout_s: float = 600.0):
     return out["devices"]
 
 
-def fidelity_reserve_bytes(model, task, params, probe_batch):
-    """Bytes the block sizer must reserve for the fidelity comparison.
-
-    FIDELITY mode keeps a SECOND precondition-state cache (the fp32 recipe's)
-    resident through the timed score stage — ~1.6 GB at GPT-2 shapes that the
-    memory model cannot see from the bf16 recipe's arguments alone. The first
-    fp8 full bench OOMed on exactly this unmodeled resident."""
-    if not FIDELITY:
-        return 0.0
-    from kronfluence_tpu.utils.memory import probe_modules, static_bytes
-
-    probes = probe_modules(model, task, params, probe_batch, QUERY_BATCH)
-    return float(static_bytes(probes, "pairwise"))
+# NOTE on FIDELITY residents: the bf16 and fp32 recipes share one
+# precondition-state cache entry (same strategy/damping/precondition_dtype ->
+# same precondition_cache_key, verified), and the fp32 comparison block is
+# built only AFTER the timed bf16 stage. FIDELITY therefore adds no resident
+# to the timed stage and the block sizer needs no reserve for it.
 
 
 def concurrent_stage_warmup(
@@ -249,9 +241,6 @@ def concurrent_stage_warmup(
             resolve_query_accumulation(
                 model, task, params, probe_batch, q_loader,
                 BatchLoader(t_data, TRAIN_BATCH), warm_score_args,
-                reserve_bytes=fidelity_reserve_bytes(
-                    model, task, params, probe_batch
-                ),
             )
         )
     else:
@@ -589,7 +578,6 @@ def main():
         query_acc = resolve_query_accumulation(
             model, task, params, probe_batch, q_probe_loader,
             BatchLoader(train_data, TRAIN_BATCH), score_args,
-            reserve_bytes=fidelity_reserve_bytes(model, task, params, probe_batch),
         )
         log(
             f"auto query block: {QUERY_BATCH}x{query_acc} = "

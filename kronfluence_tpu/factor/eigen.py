@@ -168,6 +168,7 @@ def _device_eigendecomposition(covariance_factors, eigen_factors, solver="auto")
         eigh_batched,
         eigh_large,
         eigh_stock_batched,
+        prewarm_stock_eigh,
     )
 
     if solver == "jacobi":
@@ -195,7 +196,18 @@ def _device_eigendecomposition(covariance_factors, eigen_factors, solver="auto")
     for pair_idx, (cov_name, _count, _evec, _eval) in enumerate(_FACTOR_PAIRS):
         for module_name, mat in covariance_factors[cov_name].items():
             groups.setdefault(mat.shape[0], []).append((pair_idx, module_name))
-    for target, entries in _merge_dim_groups(groups).items():
+    merged = _merge_dim_groups(groups)
+    if solver in ("auto", "qdwh"):
+        # Compile every group's QDWH executable on threads FIRST (the remote
+        # compile server parallelizes distinct programs): cold eigh warmup
+        # drops from the sum of per-shape compiles (~415 s for GPT-2's three
+        # merged groups) to roughly the slowest one. No-op once warmed.
+        prewarm_stock_eigh(
+            (len(entries), target)
+            for target, entries in merged.items()
+            if target < LARGE_EIGH_DIM
+        )
+    for target, entries in merged.items():
         # Sub-stack per (family, original dim) — one static pad shape each —
         # concatenated into the shared (x, target, target) batch, all inside
         # ONE jitted assembly dispatch (see _assemble_group).

@@ -305,6 +305,69 @@ def _stock_eigh_jit():
     return _STOCK_EIGH_JIT
 
 
+def stock_eigh_chunk(x: int, n: int, budget_elems: Optional[int] = None) -> int:
+    """The chunk size `eigh_stock_batched` compiles for a (x, n, n) batch.
+
+    Shared with `prewarm_stock_eigh` so prewarmed executables carry exactly
+    the shapes the production solve will dispatch. Chunks are sized EVENLY
+    (12 -> 4+4+4, not 5+5+2) so every chunk shares one compiled executable."""
+    if budget_elems is None:
+        # KF_EIGH_BUDGET_ELEMS tunes the chunk/HBM trade (A/B measurement:
+        # benchmarks/micro_eigh_groups.py); default keeps QDWH workspaces
+        # well clear of resident factor state.
+        budget_elems = int(os.environ.get("KF_EIGH_BUDGET_ELEMS", 48_000_000))
+    chunk_max = max(1, min(x, budget_elems // (n * n)))
+    n_chunks = -(-x // chunk_max)
+    return -(-x // n_chunks)
+
+
+_PREWARMED_SHAPES = set()
+
+
+def prewarm_stock_eigh(group_shapes) -> None:
+    """Compiles every QDWH executable the given (x, n) batches will need, on
+    threads — the remote XLA compile server builds distinct programs in
+    parallel (measured: benchmarks/micro_compile_overlap.py), so a cold eigh
+    warmup costs roughly the SLOWEST per-shape compile instead of the sum
+    (GPT-2's three merged dim groups: ~415 s sequential). Each thread runs the
+    jitted solve once on a distinct-eigenvalue diagonal dummy so the
+    executable lands in the jit's in-memory dispatch cache (an AOT
+    lower().compile() would only populate the persistent cache, leaving the
+    real solve to pay a multi-second ~80 MB deserialization per shape).
+
+    Idempotent per (chunk, n): shapes already prewarmed or already solved
+    this process are skipped, so steady-state stages pay nothing.
+    """
+    import threading
+
+    jobs = []
+    for x, n in group_shapes:
+        chunk = stock_eigh_chunk(int(x), int(n))
+        if (chunk, int(n)) not in _PREWARMED_SHAPES:
+            _PREWARMED_SHAPES.add((chunk, int(n)))
+            jobs.append((chunk, int(n)))
+    if not jobs:
+        return
+    f = _stock_eigh_jit()
+    errors = []
+
+    def warm(chunk, n):
+        try:
+            diag = jnp.linspace(1.0, 2.0, n, dtype=jnp.float32)
+            dummy = jnp.broadcast_to(jnp.diag(diag), (chunk, n, n))
+            jax.block_until_ready(f(dummy))
+        except Exception as exc:  # noqa: BLE001 — surfaced after join
+            errors.append(exc)
+
+    threads = [threading.Thread(target=warm, args=j, daemon=True) for j in jobs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+
+
 def eigh_stock_batched(
     matrices: jax.Array, budget_elems: Optional[int] = None
 ) -> Tuple[jax.Array, jax.Array]:
@@ -324,18 +387,11 @@ def eigh_stock_batched(
     n = matrices.shape[-1]
     A = matrices.reshape((-1, n, n)).astype(jnp.float32)
     # QDWH workspace holds several (n, n) buffers per matrix; chunk large
-    # batches so eigendecomposition never competes with resident factor state.
-    # Chunks are sized EVENLY (12 -> 4+4+4, not 5+5+2) so every chunk shares
-    # one compiled executable — QDWH compiles are minutes per shape.
+    # batches so eigendecomposition never competes with resident factor state
+    # (chunk sizing: stock_eigh_chunk).
     x = A.shape[0]
-    if budget_elems is None:
-        # KF_EIGH_BUDGET_ELEMS tunes the chunk/HBM trade (A/B measurement:
-        # benchmarks/micro_eigh_groups.py); default keeps QDWH workspaces
-        # well clear of resident factor state.
-        budget_elems = int(os.environ.get("KF_EIGH_BUDGET_ELEMS", 48_000_000))
-    chunk_max = max(1, min(x, budget_elems // (n * n)))
-    n_chunks = -(-x // chunk_max)
-    chunk = -(-x // n_chunks)
+    chunk = stock_eigh_chunk(x, n, budget_elems)
+    _PREWARMED_SHAPES.add((chunk, n))  # a direct solve warms the shape too
     ev_parts, vec_parts = [], []
     f = _stock_eigh_jit()
     for start in range(0, x, chunk):
