@@ -284,10 +284,12 @@ def concurrent_stage_warmup(
             {**fab_eigen, **fab_lambda}, factor_args, warm_score_args,
         )
 
-    jobs = [
-        ("cov", warm_cov), ("eigh", warm_eigh),
-        ("lambda", warm_lambda), ("score", warm_score),
-    ]
+    # Staggered schedule: only eigh (the ~180s compile, small residents) runs
+    # on a thread; cov -> lambda -> score warm serially beside it. Running all
+    # four concurrently co-resided the score stage's query block + precondition
+    # states with every other stage's buffers and died RESOURCE_EXHAUSTED on
+    # the 16 GB chip; the serial chain (~120s) hides under eigh's compile
+    # anyway, so full concurrency buys nothing further.
     errors, durations = {}, {}
 
     def run(name, fn):
@@ -298,21 +300,30 @@ def concurrent_stage_warmup(
             errors[name] = exc
         durations[name] = time.time() - s
 
-    threads = [
-        threading.Thread(target=run, args=job, daemon=True) for job in jobs
-    ]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    eigh_thread = threading.Thread(
+        target=run, args=("eigh", warm_eigh), daemon=True
+    )
+    eigh_thread.start()
+    for name, fn in (("cov", warm_cov), ("lambda", warm_lambda),
+                     ("score", warm_score)):
+        run(name, fn)
+        if name in errors:
+            break
+    eigh_thread.join()
     if errors:
         name, exc = next(iter(errors.items()))
         raise RuntimeError(f"concurrent {name} warmup failed") from exc
+    # Free the fabricated-factor precondition states now: left cached, the
+    # ~1.6 GB (GPT-2 shapes) would stay pinned until the real score run
+    # rebuilds the entry — overlapping the timed stages' residents.
+    from kronfluence_tpu.utils.jit_cache import clear_value_cache
+
+    clear_value_cache(model, "precond_states")
     warmups["concurrent"] = time.time() - t0
     log(
-        "concurrent warmup: wall {:.1f}s (threads: {})".format(
+        "concurrent warmup: wall {:.1f}s (stages: {})".format(
             warmups["concurrent"],
-            ", ".join(f"{n} {durations[n]:.1f}s" for n, _ in jobs),
+            ", ".join(f"{n} {d:.1f}s" for n, d in durations.items()),
         )
     )
 
