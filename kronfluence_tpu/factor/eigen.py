@@ -154,6 +154,31 @@ def _split_group_results(evals, evecs, dims, dtype_names):
     return tuple(out)
 
 
+def _large_group_eigendecomposition(covariance_factors, eigen_factors, entries) -> None:
+    """Per-matrix path for dims >= LARGE_EIGH_DIM (Llama MLP factors).
+
+    Normalization and symmetrization happen HOST-side (an n^2 pass is
+    milliseconds even on one core) so the device only ever holds the single
+    matrix being solved plus its solver workspace; eigenpairs land host-side
+    (eigh_large's contract). The batched `_assemble_group` path would put the
+    whole group (~4.9 GB at 14336) plus workspace plus all eigenvectors on a
+    16 GB chip at once — the exact OOM that killed the first recorded
+    8B-shape run.
+    """
+    from kronfluence_tpu.ops.eigh import eigh_large
+
+    for (pair_idx, module_name), _dim in entries:
+        cov_name, count_name, evec_name, eval_name = _FACTOR_PAIRS[pair_idx]
+        original = covariance_factors[cov_name][module_name]
+        out_dtype = np.dtype(original.dtype)
+        count = float(np.asarray(covariance_factors[count_name][module_name]))
+        M = np.asarray(original, dtype=np.float32) / count
+        M = 0.5 * (M + M.T)
+        ev, vec = eigh_large(M[None])
+        eigen_factors[eval_name][module_name] = ev[0].astype(out_dtype)
+        eigen_factors[evec_name][module_name] = vec[0].astype(out_dtype)
+
+
 def _device_eigendecomposition(covariance_factors, eigen_factors, solver="auto") -> None:
     """fp32 on-device path: normalization, symmetrization, and the eigensolver
     all run on the accelerator, batched over same-dimension factor matrices;
@@ -166,25 +191,18 @@ def _device_eigendecomposition(covariance_factors, eigen_factors, solver="auto")
     from kronfluence_tpu.ops.eigh import (
         LARGE_EIGH_DIM,
         eigh_batched,
-        eigh_large,
         eigh_stock_batched,
         prewarm_stock_eigh,
     )
 
     if solver == "jacobi":
-        base_solve = eigh_batched
+        solve = eigh_batched
     elif solver == "dc":
         from kronfluence_tpu.ops.eigh_dc import eigh_spectral_dc
 
-        base_solve = eigh_spectral_dc
+        solve = eigh_spectral_dc
     else:  # "auto" / "qdwh"
-        base_solve = eigh_stock_batched
-
-    def solve(normalized):
-        # Llama-scale dims: one matrix at a time + host-fp64 OOM fallback.
-        if normalized.shape[-1] >= LARGE_EIGH_DIM:
-            return eigh_large(normalized)
-        return base_solve(normalized)
+        solve = eigh_stock_batched
 
     # Collect jobs across BOTH factor families before merging dim groups:
     # near-miss dims from different families (GPT-2: act 769 vs grad 768,
@@ -208,6 +226,13 @@ def _device_eigendecomposition(covariance_factors, eigen_factors, solver="auto")
             if target < LARGE_EIGH_DIM
         )
     for target, entries in merged.items():
+        if target >= LARGE_EIGH_DIM:
+            # Llama-scale dims: NEVER assemble the group as one device batch
+            # (6 x 14336^2 fp32 is ~4.9 GB before any solver workspace — the
+            # failure mode of the first recorded 8B-shape run). Each matrix is
+            # normalized host-side and solved alone; see eigh_large.
+            _large_group_eigendecomposition(covariance_factors, eigen_factors, entries)
+            continue
         # Sub-stack per (family, original dim) — one static pad shape each —
         # concatenated into the shared (x, target, target) batch, all inside
         # ONE jitted assembly dispatch (see _assemble_group).
@@ -417,22 +442,11 @@ def fit_lambda_matrices_with_loader(
     base_rng = jax.random.PRNGKey(factor_args.seed + 1)
     post_process = task.enable_post_process_per_sample_gradient
 
-    if use_eigenbasis:
-        if eigen_factors is None:
-            raise FactorsNotFoundError(
-                f"Strategy {factor_args.strategy!r} requires eigendecomposition results "
-                "for Lambda computations, but they were not provided."
-            )
-        q_a_host = {
-            name: jnp.asarray(arr, dtype=psg_dtype)
-            for name, arr in eigen_factors[ACTIVATION_EIGENVECTORS_NAME].items()
-        }
-        q_g_host = {
-            name: jnp.asarray(arr, dtype=psg_dtype)
-            for name, arr in eigen_factors[GRADIENT_EIGENVECTORS_NAME].items()
-        }
-    else:
-        q_a_host, q_g_host = {}, {}
+    if use_eigenbasis and eigen_factors is None:
+        raise FactorsNotFoundError(
+            f"Strategy {factor_args.strategy!r} requires eigendecomposition results "
+            "for Lambda computations, but they were not provided."
+        )
 
     from kronfluence_tpu.utils.dataset import probe_first
 
@@ -441,6 +455,23 @@ def fit_lambda_matrices_with_loader(
     except StopIteration:
         raise ValueError("Empty loader for lambda fitting.")
     specs = discover_stage_specs(model, task, params, first_batch, tracked_names)
+
+    if use_eigenbasis:
+        # Upload only this pass's eigenvectors (specs = the tracked subset):
+        # under module partitioning at Llama scale the full set is ~5 GB of
+        # 14336^2 matrices, and each pass needs only its own third.
+        q_a_host = {
+            name: jnp.asarray(arr, dtype=psg_dtype)
+            for name, arr in eigen_factors[ACTIVATION_EIGENVECTORS_NAME].items()
+            if name in specs
+        }
+        q_g_host = {
+            name: jnp.asarray(arr, dtype=psg_dtype)
+            for name, arr in eigen_factors[GRADIENT_EIGENVECTORS_NAME].items()
+            if name in specs
+        }
+    else:
+        q_a_host, q_g_host = {}, {}
 
     state = {
         name: {

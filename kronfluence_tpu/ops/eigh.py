@@ -417,70 +417,96 @@ def eigh_stock_batched(
 LARGE_EIGH_DIM = 6144
 
 
-def eigh_large(
-    matrices: jax.Array, _device_solver=None
-) -> Tuple[jax.Array, jax.Array]:
-    """Llama-scale eigendecomposition: per-matrix device spectral
-    divide-and-conquer (bounded compile, batched MXU math at every recursion
-    level; a 14336 QDWH both compiles for a very long time and holds several
-    822 MB workspaces), falling back to host fp64 LAPACK per matrix if the
-    device solve exhausts HBM. Matches the reference's GPU->CPU retry
-    (kronfluence/factor/eigen.py:199-213).
+def _is_memory_error(exc: Exception) -> bool:
+    message = str(exc)
+    return any(
+        key in message
+        for key in ("RESOURCE_EXHAUSTED", "Out of memory", "out of memory", "OOM")
+    )
+
+
+def eigh_large(matrices, _device_solver=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Llama-scale eigendecomposition: one matrix at a time, host-side results,
+    host fp64 LAPACK fallback per matrix. Matches the reference's GPU->CPU
+    retry (kronfluence/factor/eigen.py:199-213).
+
+    The memory protocol is shaped by the first recorded 8B-shape run
+    (2026-08-19, rc=1 after 6460 s): the whole (6, 14336, 14336) group lived
+    on device while each solve added its workspace, the device solve OOMed,
+    and then the fallback's `np.asarray(A[i])` *slice* needed a fresh 822 MB
+    device buffer and RESOURCE_EXHAUSTED a second time, killing the run. So:
+
+      (a) the full batch is fetched to host FIRST (the insurance copy exists
+          before any device allocation can fail),
+      (b) each device attempt uploads exactly ONE matrix, and its buffers die
+          before the next matrix starts,
+      (c) results accumulate host-side — eigenvectors of a 14336 group are
+          ~5 GB, which must not ride along on a 16 GB chip through the
+          remaining solves.
+
+    The device solver is XLA's stock QDWH on a single matrix (bounded
+    workspace; compile cost measured by benchmarks/micro_eigh_llama.py),
+    selectable via KF_LARGE_EIGH_SOLVER in {"qdwh", "dc", "host"} — "host"
+    skips device attempts entirely.
 
     Args:
-        matrices: (..., n, n) symmetric, typically n >= LARGE_EIGH_DIM.
-        _device_solver: test hook; replaces the device eigh.
+        matrices: (..., n, n) symmetric (jax or numpy), n >= LARGE_EIGH_DIM.
+        _device_solver: test hook; replaces the per-matrix device eigh.
+
+    Returns:
+        (eigenvalues, eigenvectors) as HOST numpy float32 arrays.
     """
-    batch_shape = matrices.shape[:-2]
+    batch_shape = tuple(matrices.shape[:-2])
     n = matrices.shape[-1]
-    A = matrices.reshape((-1, n, n)).astype(jnp.float32)
-    if _device_solver is None:
+    host_A = np.asarray(matrices, dtype=np.float32).reshape((-1, n, n))
+    solver_name = os.environ.get("KF_LARGE_EIGH_SOLVER", "qdwh").lower()
+    if _device_solver is not None:
+        solve = _device_solver
+    elif solver_name == "host":
+        solve = None
+    elif solver_name == "dc":
         from kronfluence_tpu.ops.eigh_dc import eigh_spectral_dc
 
-        def _host_lapack(M):
-            ev, vec = np.linalg.eigh(np.asarray(M, np.float64))
-            return (
-                jnp.asarray(ev.astype(np.float32)),
-                jnp.asarray(vec.astype(np.float32)),
-            )
+        def solve(M):
+            ev, vec = eigh_spectral_dc(M[None])
+            return ev[0], vec[0]
+    else:  # "qdwh"
+        f = _stock_eigh_jit()
 
         def solve(M):
-            # Failed splits go straight to host LAPACK rather than paying the
-            # giant-dim stock-eigh compile the default fallback would trigger.
-            ev, vec = eigh_spectral_dc(M[None], _fallback=_host_lapack)
+            ev, vec = f(M[None])
             return ev[0], vec[0]
-    else:
-        solve = _device_solver
+
     ev_parts, vec_parts = [], []
-    for i in range(A.shape[0]):
-        try:
-            ev, vec = solve(A[i])
-            # Force completion with a host fetch: on tunneled backends
-            # block_until_ready can return before device errors surface, and
-            # a RESOURCE_EXHAUSTED escaping this try would skip the host
-            # fallback. A one-element fetch awaits the whole computation.
-            jax.block_until_ready((ev, vec))
-            np.asarray(ev[:1])
-            np.asarray(vec[:1, :1])
-        except Exception as exc:  # noqa: BLE001 — re-raised unless memory-related
-            message = str(exc)
-            if not any(
-                key in message
-                for key in ("RESOURCE_EXHAUSTED", "Out of memory", "out of memory", "OOM")
-            ):
-                raise
-            host = np.asarray(A[i], dtype=np.float64)
-            ev_np, vec_np = np.linalg.eigh(host)
-            ev = jnp.asarray(ev_np.astype(np.float32))
-            vec = jnp.asarray(vec_np.astype(np.float32))
-        ev_parts.append(ev)
-        vec_parts.append(vec)
-    evals = jnp.stack(ev_parts)
-    vecs = jnp.stack(vec_parts)
-    return (
-        evals.reshape(batch_shape + (n,)),
-        vecs.reshape(batch_shape + (n, n)),
-    )
+    for i in range(host_A.shape[0]):
+        ev_np = vec_np = None
+        if solve is not None:
+            dev = None
+            try:
+                dev = jnp.asarray(host_A[i])
+                ev, vec = solve(dev)
+                # Force completion with host fetches: on tunneled backends
+                # block_until_ready can return before device errors surface,
+                # and a RESOURCE_EXHAUSTED escaping this try would skip the
+                # host fallback. The fetch also IS the result handoff (c).
+                jax.block_until_ready((ev, vec))
+                ev_np = np.asarray(ev, dtype=np.float32)
+                vec_np = np.asarray(vec, dtype=np.float32)
+            except Exception as exc:  # noqa: BLE001 — re-raised unless memory-related
+                if not _is_memory_error(exc):
+                    raise
+                ev_np = vec_np = None
+            finally:
+                del dev
+        if ev_np is None:
+            ev64, vec64 = np.linalg.eigh(host_A[i].astype(np.float64))
+            ev_np = ev64.astype(np.float32)
+            vec_np = vec64.astype(np.float32)
+        ev_parts.append(ev_np)
+        vec_parts.append(vec_np)
+    evals = np.stack(ev_parts).reshape(batch_shape + (n,))
+    vecs = np.stack(vec_parts).reshape(batch_shape + (n, n))
+    return evals, vecs
 
 
 def eigh_batched(

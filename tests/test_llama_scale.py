@@ -207,6 +207,67 @@ def test_large_dim_routing():
     assert eigh_mod.LARGE_EIGH_DIM > 4096   # GPT-2-class dims stay on the batched path
 
 
+def test_large_group_never_assembled_on_device(monkeypatch):
+    """Large-dim factor groups are eigendecomposed one matrix at a time with
+    host-resident results — `_assemble_group` must never see them (the first
+    recorded 8B-shape run died because the whole 14336 group plus solver
+    workspace plus results lived on device at once)."""
+    from kronfluence_tpu.factor import eigen as eigen_mod
+    from kronfluence_tpu.ops import eigh as eigh_mod
+    from kronfluence_tpu.utils.constants import (
+        ACTIVATION_EIGENVALUES_NAME,
+        ACTIVATION_EIGENVECTORS_NAME,
+        GRADIENT_COVARIANCE_MATRIX_NAME,
+        GRADIENT_EIGENVECTORS_NAME,
+        NUM_ACTIVATION_COVARIANCE_PROCESSED,
+        NUM_GRADIENT_COVARIANCE_PROCESSED,
+    )
+
+    monkeypatch.setattr(eigh_mod, "LARGE_EIGH_DIM", 48)
+    real_assemble = eigen_mod._assemble_group
+
+    def guarded(mats, counts, target, sizes):
+        assert target < 48, f"large group ({target}) reached _assemble_group"
+        return real_assemble(mats, counts, target, sizes)
+
+    monkeypatch.setattr(eigen_mod, "_assemble_group", guarded)
+
+    rng = np.random.default_rng(3)
+    cov = {
+        ACTIVATION_COVARIANCE_MATRIX_NAME: {},
+        NUM_ACTIVATION_COVARIANCE_PROCESSED: {},
+        GRADIENT_COVARIANCE_MATRIX_NAME: {},
+        NUM_GRADIENT_COVARIANCE_PROCESSED: {},
+    }
+    for name, (da, dg) in {"big": (64, 24), "small": (16, 12)}.items():
+        for key, count_key, d in (
+            (ACTIVATION_COVARIANCE_MATRIX_NAME, NUM_ACTIVATION_COVARIANCE_PROCESSED, da),
+            (GRADIENT_COVARIANCE_MATRIX_NAME, NUM_GRADIENT_COVARIANCE_PROCESSED, dg),
+        ):
+            A = rng.standard_normal((d, d)).astype(np.float32)
+            cov[key][name] = jnp.asarray(A @ A.T / d + 0.01 * np.eye(d, dtype=np.float32))
+            cov[count_key][name] = jnp.asarray(np.float32(2.0))
+
+    eigen = {
+        ACTIVATION_EIGENVECTORS_NAME: {}, ACTIVATION_EIGENVALUES_NAME: {},
+        GRADIENT_EIGENVECTORS_NAME: {},
+        eigen_mod.GRADIENT_EIGENVALUES_NAME: {},
+    }
+    eigen_mod._device_eigendecomposition(cov, eigen, solver="jacobi")
+
+    # The 64-dim activation factor went through the per-matrix host path.
+    big_vec = eigen[ACTIVATION_EIGENVECTORS_NAME]["big"]
+    assert isinstance(big_vec, np.ndarray)  # host-resident result
+    M = np.asarray(cov[ACTIVATION_COVARIANCE_MATRIX_NAME]["big"], np.float64) / 2.0
+    ref = np.linalg.eigvalsh(0.5 * (M + M.T))
+    np.testing.assert_allclose(
+        np.asarray(eigen[ACTIVATION_EIGENVALUES_NAME]["big"], np.float64),
+        ref, rtol=1e-4, atol=1e-5,
+    )
+    # Small dims still used the batched device path (and got assembled).
+    assert eigen[ACTIVATION_EIGENVECTORS_NAME]["small"].shape == (16, 16)
+
+
 @pytest.mark.skipif(
     not os.environ.get("KRON_LLAMA_SCALE"),
     reason="real-shape 8B-class run; TPU-only, set KRON_LLAMA_SCALE=1",
