@@ -12,13 +12,23 @@ size, reporting pass/fail + peak HBM + wall time. The result calibrates both
 the bench recipe and utils/memory.py's quantized-block term.
 
 Usage: python benchmarks/micro_fp8_block.py [blocksize ...]   (default: 64 72 56)
-Each block size must be a multiple of the query batch (8).
+Each block size must be a multiple of the query batch (8). Multiple sizes run
+in SEPARATE subprocesses: after one RESOURCE_EXHAUSTED the TPU client is
+poisoned and every later dispatch in the same process fails instantly
+(measured 2026-08-19: blocks 72/56 "failed" in 0.0 s after 64's real OOM).
 """
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if len(sys.argv) > 2:  # parent: one subprocess per size
+    for size in sys.argv[1:]:
+        print(f"=== block {size} (fresh process) ===", file=sys.stderr, flush=True)
+        subprocess.run([sys.executable, os.path.abspath(__file__), size])
+    sys.exit(0)
 
 from kronfluence_tpu.utils.platform import enable_persistent_cache
 
@@ -68,7 +78,7 @@ def hbm(label):
     )
 
 
-SIZES = [int(a) for a in sys.argv[1:]] or [64, 72, 56]
+SIZES = [int(a) for a in sys.argv[1:2]] or [64]
 SEQ = 512
 QUERY_BATCH = 8
 TRAIN_BATCH = 16

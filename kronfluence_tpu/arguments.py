@@ -78,9 +78,10 @@ class FactorArguments(Arguments):
     # per-group timings are recorded in benchmarks/README.md (QDWH solves
     # GPT-2's three merged groups in ~9 s steady; "dc" lost its A/B on this
     # backend: host-driven recursion is dominated by per-dispatch latency).
-    # "dc" remains the Llama-scale (>= LARGE_EIGH_DIM) solver, where a
-    # 14336-dim QDWH is infeasible to compile. Ignored by the float64 host
-    # path.
+    # Llama-scale dims (>= LARGE_EIGH_DIM) take a separate per-matrix path
+    # with its own solver knob (KF_LARGE_EIGH_SOLVER; see ops/eigh.py:
+    # eigh_large and benchmarks/micro_eigh_llama.py for the measured
+    # 14336-dim comparison). Ignored by the float64 host path.
     eigendecomposition_solver: str = "auto"
 
     # Lambda-matrix configuration.
