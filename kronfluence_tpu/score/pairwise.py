@@ -324,8 +324,11 @@ def _collect_blocks(blocks: List[Dict[str, Any]]) -> Dict[str, List[Any]]:
     from kronfluence_tpu.ops.quantize import QuantizedGradient, concat_quantized
 
     out: Dict[str, List[Any]] = {}
-    for name in blocks[0]:
-        chunks = [b[name] for b in blocks]
+    for name in list(blocks[0]):
+        # pop: each per-step dict drops its reference as the module is
+        # merged, so the transient is (all remaining originals + ONE module's
+        # merged copy), not (full block + full merged copy).
+        chunks = [b.pop(name) for b in blocks]
         if len(chunks) > 1 and isinstance(chunks[0], QuantizedGradient):
             chunks = [concat_quantized(chunks)]
         out[name] = chunks
@@ -458,8 +461,19 @@ def compute_pairwise_scores_with_loaders(
                 )
                 if len(pending) == accumulation:
                     yielded_full = True
-                    yield _collect_blocks(pending)
+                    # Collect and DROP the per-step chunk refs BEFORE
+                    # yielding: `yield` suspends this generator with its
+                    # locals alive, so yielding _collect_blocks(pending)
+                    # directly kept every original quantized chunk (~the
+                    # whole block's payload) referenced through the caller's
+                    # ENTIRE train pass alongside the merged copy — the
+                    # 2x-payload OOM that killed the fp8 56/72-query runs
+                    # while the equal-bytes dense run (whose collection
+                    # aliases, not copies) stayed green.
+                    block = _collect_blocks(pending)
                     pending = []
+                    yield block
+                    del block
             if pending:
                 # Pad a trailing partial block to the full chunk count by
                 # repeating its last chunk (same device buffers, no
@@ -471,8 +485,14 @@ def compute_pairwise_scores_with_loaders(
                 # compiled at full size, so padding would only waste work).
                 if yielded_full:
                     while len(pending) < accumulation:
-                        pending.append(pending[-1])
-                yield _collect_blocks(pending)
+                        # Shallow copy: same device buffers, but an
+                        # independent dict — _collect_blocks pops each step's
+                        # entry, which must not hit one shared dict twice.
+                        pending.append(dict(pending[-1]))
+                block = _collect_blocks(pending)
+                pending = []
+                yield block
+                del block
 
     if score_args.aggregate_train_gradients:
         def train_pass(query_block):
