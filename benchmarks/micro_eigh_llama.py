@@ -31,6 +31,13 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--dim", type=int, default=14336)
 parser.add_argument("--host", action="store_true", help="also time host fp64 LAPACK")
 parser.add_argument(
+    "--solver", default="qdwh", choices=["qdwh", "dc", "jacobi"],
+    help="device solver to probe (qdwh = XLA stock eigh; MEASURED 2026-08-19: "
+         "at 14336 its compile is HARD-infeasible on a 16 GB v5e — the "
+         "compiler schedules a 46.57 GB HBM peak and the remote compile "
+         "server returns a permanent out-of-memory error after ~9 min)",
+)
+parser.add_argument(
     "--cov",
     nargs=2,
     metavar=("PATH", "KEY"),
@@ -60,14 +67,21 @@ else:
     A = gen(jax.random.PRNGKey(n))
 jax.block_until_ready(A)
 
-from kronfluence_tpu.ops.eigh import eigh_stock_batched
+if args.solver == "qdwh":
+    from kronfluence_tpu.ops.eigh import eigh_stock_batched as _solve
+elif args.solver == "dc":
+    from kronfluence_tpu.ops.eigh_dc import eigh_spectral_dc as _solve
+else:
+    from kronfluence_tpu.ops.eigh import eigh_batched as _solve
 
 for label in ("warmup(compile)", "steady"):
     t0 = time.time()
-    ev, vec = eigh_stock_batched(A[None])
+    ev, vec = _solve(A[None])
     jax.block_until_ready((ev, vec))
     np.asarray(ev[0, :1])
-    print(f"qdwh {label}: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    print(
+        f"{args.solver} {label}: {time.time() - t0:.1f}s", file=sys.stderr, flush=True
+    )
 
 
 @jax.jit
@@ -82,7 +96,7 @@ def accuracy(A, ev, vec):
 
 res, orth = accuracy(A, ev[0], vec[0])
 print(
-    f"qdwh residual {float(res):.2e} orthogonality {float(orth):.2e}",
+    f"{args.solver} residual {float(res):.2e} orthogonality {float(orth):.2e}",
     file=sys.stderr,
 )
 
@@ -95,4 +109,6 @@ if args.host:
         np.max(np.abs(np.asarray(ev[0], np.float64) - hev))
         / max(1.0, np.max(np.abs(hev)))
     )
-    print(f"qdwh eigenvalue relerr vs host fp64: {rel:.2e}", file=sys.stderr)
+    print(
+        f"{args.solver} eigenvalue relerr vs host fp64: {rel:.2e}", file=sys.stderr
+    )

@@ -100,6 +100,15 @@ class FactorArguments(Arguments):
             raise ValueError(
                 "`eigendecomposition_solver` must be 'auto', 'qdwh', 'jacobi', or 'dc'."
             )
+        if self.eigendecomposition_solver == "dc":
+            import logging
+
+            logging.getLogger("kronfluence_tpu").warning(
+                "eigendecomposition_solver='dc' is measured-pathological at "
+                "moderate dims on this backend: the GPT-2 factor set did not "
+                "finish in 580 s vs ~9 s for the default QDWH path "
+                "(benchmarks/README.md, eigensolver table). Prefer 'auto'."
+            )
         for name in ("covariance_max_examples", "lambda_max_examples"):
             value = getattr(self, name)
             if value is not None and value <= 0:

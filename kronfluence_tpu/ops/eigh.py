@@ -341,11 +341,13 @@ def prewarm_stock_eigh(group_shapes) -> None:
     import threading
 
     jobs = []
+    seen = set()
     for x, n in group_shapes:
         chunk = stock_eigh_chunk(int(x), int(n))
-        if (chunk, int(n)) not in _PREWARMED_SHAPES:
-            _PREWARMED_SHAPES.add((chunk, int(n)))
-            jobs.append((chunk, int(n)))
+        key = (chunk, int(n))
+        if key not in _PREWARMED_SHAPES and key not in seen:
+            seen.add(key)  # dedupe in-flight jobs without marking them warmed
+            jobs.append(key)
     if not jobs:
         return
     f = _stock_eigh_jit()
@@ -356,6 +358,10 @@ def prewarm_stock_eigh(group_shapes) -> None:
             diag = jnp.linspace(1.0, 2.0, n, dtype=jnp.float32)
             dummy = jnp.broadcast_to(jnp.diag(diag), (chunk, n, n))
             jax.block_until_ready(f(dummy))
+            # Mark warmed only AFTER the compile+run succeeds: a failed warm
+            # must not permanently skip the shape (the production solve would
+            # then silently pay the full cold compile on a retry).
+            _PREWARMED_SHAPES.add((chunk, n))
         except Exception as exc:  # noqa: BLE001 — surfaced after join
             errors.append(exc)
 
@@ -467,8 +473,18 @@ def eigh_large(matrices, _device_solver=None) -> Tuple[np.ndarray, np.ndarray]:
     elif solver_name == "dc":
         from kronfluence_tpu.ops.eigh_dc import eigh_spectral_dc
 
+        def _host_split_fallback(M):
+            # Failed D&C splits must NOT hit eigh_spectral_dc's default
+            # fallback (an eager jnp.linalg.eigh on the full matrix): at
+            # Llama dims that triggers the giant QDWH compile/workspace this
+            # whole path exists to avoid. Solve the split host-side instead.
+            ev64, vec64 = np.linalg.eigh(np.asarray(M, np.float64))
+            return jnp.asarray(ev64.astype(np.float32)), jnp.asarray(
+                vec64.astype(np.float32)
+            )
+
         def solve(M):
-            ev, vec = eigh_spectral_dc(M[None])
+            ev, vec = eigh_spectral_dc(M[None], _fallback=_host_split_fallback)
             return ev[0], vec[0]
     else:  # "qdwh"
         f = _stock_eigh_jit()

@@ -30,6 +30,32 @@ import numpy as np
 
 SCAN_CHUNK = int(os.environ.get("KF_SCAN_CHUNK", "8"))
 
+# Canonical padded copies of device column stores, keyed by the identity of
+# the store's arrays + batch size. Without this, every scan_plan call (one per
+# stage, several per pipeline) materializes a fresh padded copy of the whole
+# dataset on device, roughly doubling dataset HBM residency per stage. Entries
+# hold strong refs to the ORIGINAL arrays too, so the ids in the key can never
+# be reused while the entry lives. FIFO-bounded: stages reuse one dataset.
+_PAD_CACHE: Dict[tuple, tuple] = {}
+_PAD_CACHE_MAX = 4
+
+
+def _padded_columns(columns: Dict[str, Any], pad_len: int) -> Dict[str, Any]:
+    import jax.numpy as jnp
+
+    key = (tuple(sorted((k, id(v)) for k, v in columns.items())), pad_len)
+    hit = _PAD_CACHE.get(key)
+    if hit is not None and all(hit[0][k] is v for k, v in columns.items()):
+        return hit[1]
+    padded = {
+        k: jnp.concatenate([v, jnp.repeat(v[:1], pad_len - len(v), axis=0)], axis=0)
+        for k, v in columns.items()
+    }
+    while len(_PAD_CACHE) >= _PAD_CACHE_MAX:
+        _PAD_CACHE.pop(next(iter(_PAD_CACHE)))
+    _PAD_CACHE[key] = (dict(columns), padded)
+    return padded
+
 
 @dataclasses.dataclass
 class ScanPlan:
@@ -87,8 +113,6 @@ def scan_plan(loader, mesh) -> Optional[ScanPlan]:
     rem = n - (num_batches - 1) * batch_size
     nvalid[-1] = rem
 
-    import jax.numpy as jnp
-
     required = base + num_batches * batch_size
     columns = dict(dataset)
     col_len = len(next(iter(columns.values())))
@@ -102,12 +126,7 @@ def scan_plan(loader, mesh) -> Optional[ScanPlan]:
     pad_len = ((col_len + batch_size - 1) // batch_size + 1) * batch_size
     if required > pad_len:  # cannot happen for in-range contiguous indices
         return None
-    columns = {
-        k: jnp.concatenate(
-            [v, jnp.repeat(v[:1], pad_len - col_len, axis=0)], axis=0
-        )
-        for k, v in columns.items()
-    }
+    columns = _padded_columns(columns, pad_len)
     return ScanPlan(columns, int(batch_size), num_batches, nvalid, base)
 
 

@@ -77,6 +77,23 @@ def test_solver_argument_validation():
         FactorArguments(eigendecomposition_solver="magic")
 
 
+def test_dc_solver_warns_measured_pathological(caplog):
+    """Selecting the measured-pathological 'dc' solver logs a warning citing
+    the recorded benchmark result (reference validation posture:
+    kronfluence/arguments.py:136-156)."""
+    import logging
+
+    from kronfluence_tpu.arguments import FactorArguments
+
+    with caplog.at_level(logging.WARNING, logger="kronfluence_tpu"):
+        FactorArguments(eigendecomposition_solver="dc")
+    assert any("measured-pathological" in rec.message for rec in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="kronfluence_tpu"):
+        FactorArguments(eigendecomposition_solver="auto")
+    assert not any("measured-pathological" in rec.message for rec in caplog.records)
+
+
 def test_merged_dim_groups_match_lapack():
     """Near-miss dims (64 vs 65 = bias column analogue) share one padded
     batched eigh call; results must match per-dim LAPACK ground truth."""
