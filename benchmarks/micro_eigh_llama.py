@@ -31,7 +31,7 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--dim", type=int, default=14336)
 parser.add_argument("--host", action="store_true", help="also time host fp64 LAPACK")
 parser.add_argument(
-    "--solver", default="qdwh", choices=["qdwh", "dc", "jacobi"],
+    "--solver", default="qdwh", choices=["qdwh", "dc", "jacobi", "jacobi_host"],
     help="device solver to probe (qdwh = XLA stock eigh; MEASURED 2026-08-19: "
          "at 14336 its compile is HARD-infeasible on a 16 GB v5e — the "
          "compiler schedules a 46.57 GB HBM peak and the remote compile "
@@ -71,6 +71,12 @@ if args.solver == "qdwh":
     from kronfluence_tpu.ops.eigh import eigh_stock_batched as _solve
 elif args.solver == "dc":
     from kronfluence_tpu.ops.eigh_dc import eigh_spectral_dc as _solve
+elif args.solver == "jacobi_host":
+    from functools import partial as _partial
+
+    from kronfluence_tpu.ops.eigh import eigh_jacobi_hostloop
+
+    _solve = _partial(eigh_jacobi_hostloop, verbose=True)
 else:
     from kronfluence_tpu.ops.eigh import eigh_batched as _solve
 

@@ -423,6 +423,174 @@ def eigh_stock_batched(
 LARGE_EIGH_DIM = 6144
 
 
+@partial(
+    jax.jit,
+    donate_argnums=(0, 1),
+    static_argnames=("block_size", "inner_sweeps", "use_pallas", "high_prec"),
+)
+def _jacobi_one_sweep(A, W, block_size, inner_sweeps, use_pallas, high_prec):
+    """ONE blocked-Jacobi sweep as a standalone bounded program.
+
+    At Llama dims a full convergence `while_loop` inside one program runs for
+    many device-minutes; on this tunneled backend such long dispatches die
+    with `UNAVAILABLE: TPU device error` (measured 2026-08-19: the
+    single-program solver faulted ~7 min into a 14336^2 warmup solve that the
+    per-sweep form completes). Here the convergence loop lives on the HOST:
+    each sweep is one dispatch of a few device-seconds, and the off-diagonal
+    norm it returns drives the host-side termination test.
+
+    Carries the same layout contract as `_blocked_jacobi_eigh`: enters and
+    leaves canonical layout, re-symmetrizes at sweep end.
+    """
+    x, n, _ = A.shape
+    two_b = 2 * block_size
+    np_pairs = n // two_b
+    delta_tab, restore, rounds = _block_index_tables(n, two_b)
+    eps = float(jnp.finfo(A.dtype).eps)
+    prec = jax.lax.Precision.HIGHEST if high_prec else jax.lax.Precision.HIGH
+    pair_idx = jnp.arange(np_pairs)
+
+    def one_round(r, carry):
+        A, W = carry
+        delta = delta_tab[r]
+        Ap = jnp.take(jnp.take(A, delta, axis=1), delta, axis=2)
+        Wp = jnp.take(W, delta, axis=2)
+        S = Ap.reshape(x, np_pairs, two_b, np_pairs, two_b)
+        S = S[:, pair_idx, :, pair_idx, :]
+        S = S.transpose(1, 0, 2, 3).reshape(x * np_pairs, two_b, two_b)
+        if use_pallas:
+            from kronfluence_tpu.ops.pallas.jacobi import jacobi_pivot_rotations
+
+            V = jacobi_pivot_rotations(S, inner_sweeps, eps=eps, interpret=False)
+        else:
+            V = _scalar_jacobi(S, inner_sweeps, eps)
+        V = V.reshape(x, np_pairs, two_b, two_b)
+        rows = Ap.reshape(x, np_pairs, two_b, n)
+        rows = jnp.einsum("xkij,xkin->xkjn", V, rows, precision=prec)
+        cols = rows.reshape(x, n, n).reshape(x, n, np_pairs, two_b)
+        cols = jnp.einsum("xnki,xkij->xnkj", cols, V, precision=prec)
+        Wp = jnp.einsum(
+            "xnki,xkij->xnkj", Wp.reshape(x, n, np_pairs, two_b), V, precision=prec
+        )
+        return cols.reshape(x, n, n), Wp.reshape(x, n, n)
+
+    A, W = jax.lax.fori_loop(0, rounds, one_round, (A, W))
+    A = jnp.take(jnp.take(A, restore, axis=1), restore, axis=2)
+    W = jnp.take(W, restore, axis=2)
+    A = 0.5 * (A + A.transpose(0, 2, 1))
+    off_mask = 1.0 - jnp.eye(n, dtype=A.dtype)
+    off = jnp.sum(jnp.square(A * off_mask), axis=(1, 2))
+    return A, W, off
+
+
+@partial(jax.jit, static_argnames=("n_true", "ns_steps"))
+def _jacobi_polish(A0, A, W, n_true, ns_steps=1):
+    """Newton-Schulz orthogonality polish + Rayleigh quotient vs the ORIGINAL
+    matrix, then ascending sort and padded-eigenpair slice (same math as the
+    single-program solver's epilogue).
+
+    `ns_steps`: NS orthogonalization iterations. One step suffices below
+    ~2e-3 drift (quadratic); at Llama dims the accumulated rotation drift
+    after ~20 sweeps measured ~4e-2, so the large path runs 3 steps
+    (each is two n^3 matmuls — seconds at 14336, vs minutes per sweep)."""
+    hi = jax.lax.Precision.HIGHEST
+    for _ in range(ns_steps):
+        wtw = jnp.einsum("xji,xjk->xik", W, W, precision=hi)
+        W = 0.5 * (3.0 * W - jnp.einsum("xij,xjk->xik", W, wtw, precision=hi))
+    AW = jnp.einsum("xij,xjk->xik", A0, W, precision=hi)
+    evals = jnp.einsum("xji,xji->xi", W, AW, precision=hi)
+    order = jnp.argsort(evals, axis=1)
+    evals = jnp.take_along_axis(evals, order, axis=1)
+    W = jnp.take_along_axis(W, order[:, None, :], axis=2)
+    return evals[:, :n_true], W[:, :n_true, :n_true]
+
+
+def eigh_jacobi_hostloop(
+    matrices,
+    block_size: int = 32,
+    inner_sweeps: int = 2,
+    max_sweeps: int = 24,
+    tol: float = 1e-6,
+    verbose: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Blocked-Jacobi eigendecomposition with a HOST-side convergence loop.
+
+    Numerically identical in structure to `eigh_batched` (coarse bf16_3x
+    sweeps to ~1e-3 relative off-norm, then fp32-HIGHEST sweeps to the fp32
+    floor, Newton-Schulz + Rayleigh polish) but each sweep is its own bounded
+    dispatch, so no device program runs longer than a few seconds — the form
+    that survives this backend's long-dispatch faults at Llama dims (the
+    single-program `eigh_batched` died `UNAVAILABLE` ~7 min into a 14336^2
+    solve). The per-sweep off-norm fetch (one scalar per matrix) is the only
+    extra host<->device traffic; it doubles as adaptive termination: the
+    fine phase also stops when a sweep no longer improves the off-norm
+    (fp32 rotation floor reached), so `max_sweeps` is a cap, not a target.
+
+    Pivot subproblems always use the scalar (non-Pallas) path here: the
+    Mosaic pivot kernel crashed the TPU worker at the 14336-dim production
+    shape (2026-08-19, batch 112 of 64x64 pivots) despite passing its
+    64-batch self-probe, and at these dims the pivot solve is noise next to
+    the (2b x n) rotation matmuls.
+    """
+    batch_shape = matrices.shape[:-2]
+    n = matrices.shape[-1]
+    A = jnp.asarray(matrices, jnp.float32).reshape((-1, n, n))
+    two_b = 2 * block_size
+    n_pad = int(math.ceil(n / two_b) * two_b)
+    if n_pad != n:
+        bound = jnp.max(jnp.sum(jnp.abs(A), axis=2), axis=1)  # Gershgorin
+        big = jnp.zeros((A.shape[0], n_pad, n_pad), jnp.float32)
+        big = big.at[:, :n, :n].set(A)
+        pad_diag = jnp.arange(n, n_pad)
+        A = big.at[:, pad_diag, pad_diag].set((4.0 * bound + 1.0)[:, None])
+    x = A.shape[0]
+    # The sweeps DONATE (A, W); A0 must be a distinct buffer (the polish
+    # computes the Rayleigh quotient against the original), and W must be a
+    # materialized array, not a broadcast view.
+    A0 = A
+    A = A + 0.0
+    W = jnp.tile(jnp.eye(n_pad, dtype=A.dtype)[None], (x, 1, 1))
+    eps = float(jnp.finfo(jnp.float32).eps)
+    floor = max(tol, 8.0 * eps * math.sqrt(n_pad))
+    total_sq = np.asarray(jnp.sum(A * A, axis=(1, 2)))  # per-matrix, as in eigh_batched
+    coarse_budget = max(1, max_sweeps // 2)
+    sweep = 0
+    prev_off = None
+    for high_prec in (False, True):
+        loop_tol = max(1e-3, floor) if not high_prec else floor
+        budget = coarse_budget if not high_prec else max_sweeps
+        while sweep < budget:
+            # Donated (A, W): each sweep reuses the previous buffers.
+            A, W, off_v = _jacobi_one_sweep(
+                A, W, block_size, inner_sweeps, False, high_prec
+            )
+            sweep += 1
+            off = np.asarray(off_v)
+            if verbose:
+                rel = float(np.max(np.sqrt(off / total_sq)))
+                print(
+                    f"  jacobi sweep {sweep} ({'fine' if high_prec else 'coarse'}):"
+                    f" rel off-norm {rel:.3e}",
+                    flush=True,
+                )
+            if bool(np.all(off <= (loop_tol * loop_tol) * total_sq)):
+                break
+            if high_prec and prev_off is not None and bool(
+                np.all(off >= 0.9 * prev_off)
+            ):
+                break  # fp32 rotation floor: sweeps no longer help
+            prev_off = off if high_prec else None
+    # Heavier drift at large n: scale NS polish steps with the accumulated
+    # sweep count (measured at 14336: one step left 3.9e-3 orthogonality,
+    # three steps reach the fp32 floor).
+    ns_steps = 3 if n_pad >= 4096 else 1
+    evals, vecs = _jacobi_polish(A0, A, W, n, ns_steps)
+    return (
+        evals.reshape(batch_shape + (n,)),
+        vecs.reshape(batch_shape + (n, n)),
+    )
+
+
 def _is_memory_error(exc: Exception) -> bool:
     message = str(exc)
     return any(
@@ -450,10 +618,14 @@ def eigh_large(matrices, _device_solver=None) -> Tuple[np.ndarray, np.ndarray]:
           ~5 GB, which must not ride along on a 16 GB chip through the
           remaining solves.
 
-    The device solver is XLA's stock QDWH on a single matrix (bounded
-    workspace; compile cost measured by benchmarks/micro_eigh_llama.py),
-    selectable via KF_LARGE_EIGH_SOLVER in {"qdwh", "dc", "host"} — "host"
-    skips device attempts entirely.
+    Device solver selection (KF_LARGE_EIGH_SOLVER in {"jacobi", "qdwh",
+    "dc", "host"}; "host" skips device attempts entirely): the default is
+    the blocked-Jacobi solver — MEASURED 2026-08-19 on the real 14336^2
+    Llama gate_proj covariance, it is the ONLY solver that runs at this
+    dimension on a 16 GB chip. Both XLA's stock QDWH and the spectral-D&C
+    path fail at COMPILE time with permanent out-of-memory errors (the
+    compiler schedules 46.57 GB / 43.21 GB HBM peaks respectively;
+    benchmarks/micro_eigh_llama.py records both).
 
     Args:
         matrices: (..., n, n) symmetric (jax or numpy), n >= LARGE_EIGH_DIM.
@@ -465,11 +637,21 @@ def eigh_large(matrices, _device_solver=None) -> Tuple[np.ndarray, np.ndarray]:
     batch_shape = tuple(matrices.shape[:-2])
     n = matrices.shape[-1]
     host_A = np.asarray(matrices, dtype=np.float32).reshape((-1, n, n))
-    solver_name = os.environ.get("KF_LARGE_EIGH_SOLVER", "qdwh").lower()
+    solver_name = os.environ.get("KF_LARGE_EIGH_SOLVER", "jacobi").lower()
     if _device_solver is not None:
         solve = _device_solver
     elif solver_name == "host":
         solve = None
+    elif solver_name == "jacobi":
+
+        def solve(M):
+            # Host-driven sweep loop: bounded per-sweep dispatches (the
+            # single-program eigh_batched faults at Llama dims — its
+            # convergence while_loop runs minutes on-device and the tunneled
+            # backend kills long dispatches).
+            ev, vec = eigh_jacobi_hostloop(M[None])
+            return ev[0], vec[0]
+
     elif solver_name == "dc":
         from kronfluence_tpu.ops.eigh_dc import eigh_spectral_dc
 

@@ -157,9 +157,17 @@ def jacobi_works() -> bool:
     shrinks substantially (catches no-op rotations)."""
     global _COMPILED_WORKS
     if _COMPILED_WORKS is None:
+        import os
+
         from kronfluence_tpu.utils.platform import pallas_works
 
-        if not pallas_works():
+        if os.environ.get("KF_JACOBI_PALLAS", "1") in ("0", "off", "false"):
+            # Kill switch: the self-probe validates the kernel at its probe
+            # shape, but a Mosaic fault at an untested production shape can
+            # crash the TPU worker mid-stage (observed at Llama dims) — this
+            # forces the scalar-Jacobi pivot path for A/B isolation.
+            _COMPILED_WORKS = False
+        elif not pallas_works():
             _COMPILED_WORKS = False
         else:
             try:

@@ -77,6 +77,38 @@ def test_solver_argument_validation():
         FactorArguments(eigendecomposition_solver="magic")
 
 
+def test_jacobi_hostloop_matches_lapack():
+    """The host-driven-sweep Jacobi form (the only solver that survives
+    Llama-dim solves on the tunneled backend — bounded per-sweep dispatches)
+    must match LAPACK like the single-program solver does."""
+    import numpy as np
+
+    from kronfluence_tpu.ops.eigh import eigh_jacobi_hostloop
+
+    from kronfluence_tpu.ops.eigh import eigh_batched
+
+    rng = np.random.default_rng(3)
+    for n in (96, 130):  # multiple of 2b and a padded odd size
+        g = rng.normal(size=(2, n, n)).astype(np.float32)
+        scale = np.exp(rng.uniform(-4, 2, size=(2, n, 1))).astype(np.float32)
+        a = (g * scale) @ (g * scale).transpose(0, 2, 1)
+        a = 0.5 * (a + a.transpose(0, 2, 1))
+        evals, vecs = eigh_jacobi_hostloop(a)
+        evals, vecs = np.asarray(evals), np.asarray(vecs)
+        # Faithful restructure: must reproduce the single-program solver.
+        ev_b, vec_b = eigh_batched(a)
+        np.testing.assert_allclose(evals, np.asarray(ev_b), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(vecs, np.asarray(vec_b), rtol=1e-5, atol=1e-5)
+        for i in range(a.shape[0]):
+            ref = np.linalg.eigh(a[i].astype(np.float64))[0]
+            scale_i = np.abs(ref).max()
+            assert np.abs(evals[i] - ref).max() / scale_i < 5e-5
+            recon = (vecs[i] * evals[i]) @ vecs[i].T
+            assert np.abs(recon - a[i]).max() / scale_i < 1e-4
+            orth = vecs[i].T @ vecs[i] - np.eye(a.shape[1])
+            assert np.abs(orth).max() < 5e-5
+
+
 def test_dc_solver_warns_measured_pathological(caplog):
     """Selecting the measured-pathological 'dc' solver logs a warning citing
     the recorded benchmark result (reference validation posture:

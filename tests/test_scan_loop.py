@@ -98,6 +98,27 @@ class TestScanPlan:
             need = p.base_index + p.num_batches * p.batch_size
             assert all(len(v) >= need for v in p.columns.values())
 
+    def test_padded_store_is_cached_per_dataset(self):
+        """Repeated scan_plan calls on the same device column store must reuse
+        ONE padded copy (the padded store co-resides with the original for a
+        whole stage; re-copying per call doubled dataset HBM residency —
+        r03 advisor finding)."""
+        data = _device_store(make_regression_data(100))
+        plans = [
+            scan_plan(BatchLoader(data, 32), mesh=None),
+            scan_plan(BatchLoader(data, 32, indices=range(64)), mesh=None),
+            scan_plan(BatchLoader(data, 32), mesh=None),
+        ]
+        for k in data:
+            assert plans[0].columns[k] is plans[1].columns[k]
+            assert plans[0].columns[k] is plans[2].columns[k]
+        # A different batch size pads to a different canonical length -> a
+        # distinct entry, not a wrong reuse.
+        other = scan_plan(BatchLoader(data, 7), mesh=None)
+        k0 = next(iter(data))
+        assert other.columns[k0] is not plans[0].columns[k0]
+        assert other.columns[k0].shape[0] != plans[0].columns[k0].shape[0]
+
     def test_run_scanned_pads_final_chunk_with_dummies(self):
         data = _device_store(make_regression_data(10))
         plan = scan_plan(BatchLoader(data, 4), mesh=None)
