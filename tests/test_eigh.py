@@ -93,12 +93,19 @@ def test_jacobi_hostloop_matches_lapack():
         scale = np.exp(rng.uniform(-4, 2, size=(2, n, 1))).astype(np.float32)
         a = (g * scale) @ (g * scale).transpose(0, 2, 1)
         a = 0.5 * (a + a.transpose(0, 2, 1))
+        # Scalar-pivot mode is a faithful restructure of the single-program
+        # solver: must reproduce it (max_sweeps matched to eigh_batched's 16).
+        ev_s, vec_s = eigh_jacobi_hostloop(a, pivot="scalar", max_sweeps=16)
+        ev_b, vec_b = eigh_batched(a)
+        np.testing.assert_allclose(
+            np.asarray(ev_s), np.asarray(ev_b), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(vec_s), np.asarray(vec_b), rtol=1e-5, atol=1e-5
+        )
+        # Default exact-eigh pivots: LAPACK-grade accuracy in few sweeps.
         evals, vecs = eigh_jacobi_hostloop(a)
         evals, vecs = np.asarray(evals), np.asarray(vecs)
-        # Faithful restructure: must reproduce the single-program solver.
-        ev_b, vec_b = eigh_batched(a)
-        np.testing.assert_allclose(evals, np.asarray(ev_b), rtol=1e-6, atol=1e-6)
-        np.testing.assert_allclose(vecs, np.asarray(vec_b), rtol=1e-5, atol=1e-5)
         for i in range(a.shape[0]):
             ref = np.linalg.eigh(a[i].astype(np.float64))[0]
             scale_i = np.abs(ref).max()
