@@ -1,15 +1,20 @@
 """Finds the largest GREEN fp8 query block for the GPT-2 bench score stage.
 
-The full fp8 bench (KRON_BENCH_QUERY_STORAGE=float8_e4m3fn) OOMs in the first
-train pass at the memory model's auto-sized 72-query block even though the
-model's arithmetic says 72 fp8 queries cost the same HBM as the recorded-green
-40-query bf16 block — the quantized path's true transient peak exceeds the
-modeled `2 x max_module` dequantize term. Rather than guessing at XLA's
-scheduling, this script replicates the full bench's score-stage residents
-exactly (params, bf16 precondition state, fp32 fidelity state, full-length
-device column stores) and attempts ONE full train pass per candidate block
-size, reporting pass/fail + peak HBM + wall time. The result calibrates both
-the bench recipe and utils/memory.py's quantized-block term.
+HISTORY: the r3 fp8 bench (KRON_BENCH_QUERY_STORAGE=float8_e4m3fn) OOMed in
+the first train pass at the memory model's auto-sized 72-query block, and
+this script's first run measured block 64 OOMing too. Those failures predate
+the per-module token-serialization chain (score/pairwise.py: the `token`
+threading landed in r3's FINAL snapshot, after the bench had already
+reverted to bf16) — the scheduler was free to materialize many modules'
+dense dequantized blocks concurrently. With the chain in place, compiler
+memory_analysis (micro_fp8_memory.py, 2026-08-19) shows the fp8:72 superstep
+TEMP at 5.11 GiB vs the green bf16:40's 5.02 GiB — i.e. the transient is
+chunk-sized and ~query-count-independent, and utils/memory.py's quantized
+term is now calibrated to that measurement. This script remains the on-chip
+proof: it replicates the full bench's score-stage residents exactly (params,
+bf16 precondition state, fp32 fidelity state, full-length device column
+stores) and attempts ONE full train pass per candidate block size, reporting
+pass/fail + peak HBM + wall time.
 
 Usage: python benchmarks/micro_fp8_block.py [blocksize ...]   (default: 64 72 56)
 Each block size must be a multiple of the query batch (8). Multiple sizes run

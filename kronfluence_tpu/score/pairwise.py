@@ -298,6 +298,7 @@ def resolve_query_accumulation(
         train_batch_size=getattr(train_loader, "batch_size", None) or 1,
         num_train=getattr(train_loader, "num_examples", 0) or 0,
         reserve_bytes=reserve_bytes,
+        query_batch_size=query_bs,
     )
     num_query_batches = -(-query_loader.num_examples // query_bs)
     accumulation = max(1, min(block_q // query_bs, num_query_batches))

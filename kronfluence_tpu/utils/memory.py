@@ -212,6 +212,7 @@ def max_queries_per_block(
     budget_bytes: Optional[float] = None,
     reserve_bytes: float = 0.0,
     max_queries: int = 4096,
+    query_batch_size: int = 8,
 ) -> int:
     """Largest query count whose resident block fits alongside the train pass.
 
@@ -250,14 +251,24 @@ def max_queries_per_block(
     per_query_scores = num_train * (tokens if per_token else 1) * score_b
     per_query = query_block_bytes(probes, score_args, 1) + per_query_scores
     if getattr(score_args, "query_gradient_storage_dtype", None) is not None:
-        # Quantized blocks are dequantized one module at a time inside the
-        # train step; the dense transient (current + next module being built)
-        # scales with the block's query count.
+        # Quantized dequantize transient: the per-chunk optimization barrier
+        # + per-module token chain (score/pairwise.py:_tie_chunk_to_loop and
+        # the `token` serialization) keep ONE query-batch chunk of ONE module
+        # dense at a time, so the transient is chunk-sized and does NOT scale
+        # with the block's total query count. CALIBRATED against compiler
+        # memory_analysis (benchmarks/micro_fp8_memory.py, 2026-08-19): the
+        # fp8 train superstep's TEMP grows only ~1.6 MB/query from 40->72
+        # queries (5.06 -> 5.11 GiB at train batch 16) — one (8, o_max,
+        # i_max) bf16 chunk is ~38 MB, matching. Budget 2 chunks (current +
+        # next being built). The PREVIOUS model charged 2 x max_module PER
+        # QUERY (~680 MB phantom at 72 queries), which both under-approved
+        # fp8 blocks and postdated the real OOM cause (pre-token-chain
+        # scheduling, fixed in r3's final snapshot).
         max_module_oi = max(
             (p.spec.activation_dim * p.spec.gradient_dim for p in probes.values()),
             default=0,
         )
-        per_query += 2 * max_module_oi * psg_b
+        budget -= 2 * query_batch_size * max_module_oi * psg_b
     if per_query <= 0:
         return max_queries
     return max(1, min(max_queries, int(budget // per_query)))

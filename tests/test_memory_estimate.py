@@ -245,6 +245,59 @@ def test_block_sizer_rejects_the_r02_oom_configuration():
     assert query_block_bytes(probes, score_args, 2 * 56) > budget
 
 
+def test_per_example_bytes_matches_compiler_temp_measurement():
+    """Calibration regression vs XLA's own memory_analysis of the EXACT
+    pairwise train superstep (benchmarks/micro_fp8_memory.py, 2026-08-19,
+    train batch 16, bf16 capture/psg): TEMP = 5.02 GiB (bf16 block) to
+    5.11 GiB (fp8 72-query block). The model's per-batch working-set term
+    must stay within +-30% of that measurement."""
+    from kronfluence_tpu.utils.memory import per_example_bytes
+
+    probes = _gpt2_probes()
+    batch = 16 * per_example_bytes(
+        probes, "pairwise", capture_bytes=2, psg_bytes=2
+    )
+    measured = 5.02 * 1024**3
+    assert 0.7 * measured < batch < 1.3 * measured
+
+
+def test_quantized_transient_is_chunk_scaled_not_query_scaled():
+    """The fp8 dequantize transient must be modeled per CHUNK, not per query:
+    compiler memory_analysis measured TEMP growing only ~1.6 MB/query from
+    40->72 fp8 queries (the barrier+token chain keeps one 8-query chunk of
+    one module dense at a time). Consequence: at the same budget, fp8 blocks
+    must approve close to 2x the bf16 query count (per-query bytes halve),
+    which the old per-query transient term (~9.4 MB/query phantom) denied."""
+    from kronfluence_tpu.utils.memory import (
+        PAIRWISE_BUDGET_FRACTION,
+        max_queries_per_block,
+    )
+    from kronfluence_tpu.utils.common.score_arguments import (
+        smart_low_precision_score_arguments,
+    )
+
+    probes = _gpt2_probes()
+    budget = 16 * 1024**3 * PAIRWISE_BUDGET_FRACTION
+    bf16 = max_queries_per_block(
+        probes, smart_low_precision_score_arguments(),
+        train_batch_size=16, num_train=4656, budget_bytes=budget,
+    )
+    fp8_args = smart_low_precision_score_arguments()
+    fp8_args.query_gradient_storage_dtype = "float8_e4m3fn"
+    fp8 = max_queries_per_block(
+        probes, fp8_args, train_batch_size=16, num_train=4656,
+        budget_bytes=budget, query_batch_size=8,
+    )
+    assert fp8 >= int(1.8 * bf16)
+    # The chunk transient is budgeted: a huge query batch size must shrink
+    # the approved block.
+    fp8_bigchunk = max_queries_per_block(
+        probes, fp8_args, train_batch_size=16, num_train=4656,
+        budget_bytes=budget, query_batch_size=512,
+    )
+    assert fp8_bigchunk < fp8
+
+
 def test_block_sizer_honors_reserve_bytes():
     """`reserve_bytes` (caller-known residents the model cannot see, e.g. the
     bench's second fp32 precondition-state cache kept live for the fidelity
