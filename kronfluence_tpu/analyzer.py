@@ -82,7 +82,17 @@ class Analyzer(FactorComputer, ScoreComputer):
         overwrite_output_dir: bool = False,
     ) -> None:
         """Computes all necessary factors: covariance -> eigh -> lambda
-        (reference analyzer.py:144-195)."""
+        (reference analyzer.py:144-195).
+
+        The eigendecomposition is handed to the Lambda stage in memory and its
+        artifacts are written on a background thread: on the fp32 device path
+        the eigen factors are device arrays whose solves may still be in
+        flight when the Lambda stage starts building loaders and compiling its
+        step, so the solver tail, the host fetch + safetensors write, and the
+        Lambda stage's host-side pipeline all overlap — eigendecomposition
+        comes off the end-to-end critical path (its wall time hides behind
+        Lambda's warmup; reference serializes the stages and pays cuSOLVER
+        in full, factor/eigen.py:199-213)."""
         self.fit_covariance_matrices(
             factors_name=factors_name,
             dataset=dataset,
@@ -92,20 +102,26 @@ class Analyzer(FactorComputer, ScoreComputer):
             factor_args=factor_args,
             overwrite_output_dir=overwrite_output_dir,
         )
-        self.perform_eigendecomposition(
+        eigen_factors = self.perform_eigendecomposition(
             factors_name=factors_name,
             factor_args=factor_args,
             overwrite_output_dir=overwrite_output_dir,
+            return_in_memory=True,
+            async_save=True,
         )
-        self.fit_lambda_matrices(
-            factors_name=factors_name,
-            dataset=dataset,
-            per_device_batch_size=per_device_batch_size,
-            initial_per_device_batch_size_attempt=initial_per_device_batch_size_attempt,
-            dataloader_kwargs=dataloader_kwargs,
-            factor_args=factor_args,
-            overwrite_output_dir=overwrite_output_dir,
-        )
+        try:
+            self.fit_lambda_matrices(
+                factors_name=factors_name,
+                dataset=dataset,
+                per_device_batch_size=per_device_batch_size,
+                initial_per_device_batch_size_attempt=initial_per_device_batch_size_attempt,
+                dataloader_kwargs=dataloader_kwargs,
+                factor_args=factor_args,
+                overwrite_output_dir=overwrite_output_dir,
+                eigen_factors=eigen_factors,
+            )
+        finally:
+            self.wait_for_async_saves()
 
     @staticmethod
     def load_file(path: Path) -> Dict[str, np.ndarray]:

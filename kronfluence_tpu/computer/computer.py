@@ -75,6 +75,8 @@ class Computer:
         self.params = params
         self.cpu = cpu
         self.disable_tqdm = disable_tqdm
+        # Background artifact writes (perform_eigendecomposition async_save).
+        self._pending_saves: list = []
         self.logger = get_logger(
             type(self).__name__, log_level, main_process_only=log_main_process_only
         )

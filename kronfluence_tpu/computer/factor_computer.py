@@ -115,7 +115,21 @@ class FactorComputer(Computer):
         factor_args: Optional[FactorArguments] = None,
         overwrite_output_dir: bool = False,
         load_from_factors_name: Optional[str] = None,
-    ) -> None:
+        return_in_memory: bool = False,
+        async_save: bool = False,
+    ):
+        """Eigendecomposes the saved covariance factors.
+
+        `return_in_memory=True` returns the eigen factors (device arrays on
+        the fp32 device path) instead of None — on a skip it loads the saved
+        artifacts so the caller always gets usable factors. `async_save=True`
+        writes the safetensors artifacts on a background thread: the host
+        fetch + disk write then overlap whatever the caller dispatches next
+        (fit_all_factors overlaps them with the Lambda stage's batch loop;
+        the device DMA for the fetch runs concurrently with compute). Callers
+        must invoke `wait_for_async_saves()` before relying on the artifacts
+        being on disk; fit_all_factors does.
+        """
         factor_args = factor_args or self.loaded_factor_args(factors_name)
         config = get_factor_config(factor_args.strategy)
         factors_dir = self.factors_output_dir(factors_name)
@@ -124,10 +138,12 @@ class FactorComputer(Computer):
             self.logger.info(
                 f"Strategy {factor_args.strategy!r} does not require eigendecomposition."
             )
-            return
+            return None
         if factor_io.eigendecomposition_exist(factors_dir) and not overwrite_output_dir:
             self.logger.info(f"Found existing eigendecomposition at {factors_dir}. Skipping.")
-            return
+            return (
+                factor_io.load_eigendecomposition(factors_dir) if return_in_memory else None
+            )
         source_dir = (
             self.factors_output_dir(load_from_factors_name)
             if load_from_factors_name
@@ -138,9 +154,39 @@ class FactorComputer(Computer):
         covariance = factor_io.load_covariance_matrices(source_dir)
         with self.profiler.profile("Perform Eigendecomposition"):
             eigen = _perform_eigendecomposition(covariance, factor_args, self.profiler)
-        factor_io.save_eigendecomposition(factors_dir, eigen)
-        self.logger.info(f"Saved eigendecomposition results at {factors_dir}.")
+
+        def _save() -> None:
+            factor_io.save_eigendecomposition(factors_dir, eigen)
+            self.logger.info(f"Saved eigendecomposition results at {factors_dir}.")
+
+        if async_save:
+            import threading
+
+            box = {}
+
+            def _run():
+                try:
+                    _save()
+                except BaseException as exc:  # noqa: BLE001 — re-raised at join
+                    box["exc"] = exc
+
+            thread = threading.Thread(target=_run, daemon=True, name="kf-eigen-save")
+            thread.start()
+            self._pending_saves.append((thread, box))
+        else:
+            _save()
         self._save_profile_summary("eigendecomposition")
+        return eigen if return_in_memory else None
+
+    def wait_for_async_saves(self) -> None:
+        """Joins background artifact writes started with `async_save=True`,
+        re-raising the first failure (a silently missing artifact would break
+        the skip-if-exists resume contract)."""
+        pending, self._pending_saves = self._pending_saves, []
+        for thread, box in pending:
+            thread.join()
+            if "exc" in box:
+                raise box["exc"]
 
     def fit_lambda_matrices(
         self,
@@ -154,7 +200,15 @@ class FactorComputer(Computer):
         target_module_partitions: Optional[Sequence[int]] = None,
         overwrite_output_dir: bool = False,
         load_from_factors_name: Optional[str] = None,
+        eigen_factors=None,
     ) -> None:
+        """`eigen_factors`: in-memory eigendecomposition results (as returned
+        by `perform_eigendecomposition(return_in_memory=True)`). When given,
+        the disk round-trip is skipped — on the fp32 device path the factors
+        are device arrays whose solves may still be in flight, so the Lambda
+        stage's dispatches queue directly behind the eigensolver's
+        (fit_all_factors uses this to take eigendecomposition off the
+        critical path)."""
         factor_args = factor_args or self.loaded_factor_args(factors_name)
         config = get_factor_config(factor_args.strategy)
         factors_dir = self.factors_output_dir(factors_name)
@@ -169,8 +223,7 @@ class FactorComputer(Computer):
             return
         self._save_arguments(FACTOR_ARGUMENTS_NAME, factor_args, factors_dir, overwrite_output_dir)
 
-        eigen_factors = None
-        if config.requires_eigendecomposition_for_lambda:
+        if eigen_factors is None and config.requires_eigendecomposition_for_lambda:
             source_dir = (
                 self.factors_output_dir(load_from_factors_name)
                 if load_from_factors_name
@@ -181,6 +234,8 @@ class FactorComputer(Computer):
                     f"Eigendecomposition results not found in {source_dir}."
                 )
             eigen_factors = factor_io.load_eigendecomposition(source_dir)
+        elif not config.requires_eigendecomposition_for_lambda:
+            eigen_factors = None
 
         total = dataset_length(dataset)
         max_examples = factor_args.lambda_max_examples

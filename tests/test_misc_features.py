@@ -526,3 +526,56 @@ def test_profiler_records_stage_subphases(tmp_path):
     t0 = get_time()
     t1 = get_time()
     assert t1 >= t0
+
+
+def test_fit_all_factors_overlap_handoff_matches_staged(tmp_path):
+    """fit_all_factors hands the eigendecomposition to the Lambda stage in
+    memory and writes its artifacts on a background thread; the resulting
+    on-disk factors must be identical to staged per-stage calls (and present —
+    the async save must be joined before fit_all_factors returns)."""
+    from kronfluence_tpu import Analyzer
+
+    model, params, task = make_mlp()
+    data = make_regression_data(12)
+    args = FactorArguments(strategy="ekfac", **FP64_FACTOR)
+
+    analyzer = Analyzer("overlap_test", model, task, params=params, output_dir=str(tmp_path))
+    analyzer.fit_all_factors("combined", data, per_device_batch_size=4, factor_args=args)
+    # Staged path: each stage separately, disk round-trip between them.
+    analyzer.fit_covariance_matrices("staged", data, per_device_batch_size=4, factor_args=args)
+    analyzer.perform_eigendecomposition("staged", factor_args=args)
+    analyzer.fit_lambda_matrices("staged", data, per_device_batch_size=4, factor_args=args)
+
+    eig_a = analyzer.load_eigendecomposition("combined")
+    eig_b = analyzer.load_eigendecomposition("staged")
+    for factor_name in eig_b:
+        assert set(eig_a[factor_name]) == set(eig_b[factor_name])
+        for mod in eig_b[factor_name]:
+            np.testing.assert_array_equal(eig_a[factor_name][mod], eig_b[factor_name][mod])
+    lam_a = analyzer.load_lambda_matrices("combined")
+    lam_b = analyzer.load_lambda_matrices("staged")
+    for factor_name in lam_b:
+        for mod in lam_b[factor_name]:
+            np.testing.assert_array_equal(lam_a[factor_name][mod], lam_b[factor_name][mod])
+
+
+def test_wait_for_async_saves_reraises(tmp_path, monkeypatch):
+    """A failed background artifact write must surface, not vanish — a
+    silently missing eigendecomposition file breaks skip-if-exists resume."""
+    from kronfluence_tpu import Analyzer
+    from kronfluence_tpu.factor import io as factor_io
+
+    model, params, task = make_mlp()
+    data = make_regression_data(8)
+    args = FactorArguments(strategy="ekfac", **FP64_FACTOR)
+    analyzer = Analyzer("asyncfail_test", model, task, params=params, output_dir=str(tmp_path))
+    analyzer.fit_covariance_matrices("f", data, per_device_batch_size=4, factor_args=args)
+
+    def boom(*a, **k):
+        raise OSError("disk full (injected)")
+
+    monkeypatch.setattr(factor_io, "save_eigendecomposition", boom)
+    analyzer.perform_eigendecomposition("f", factor_args=args, async_save=True)
+    with pytest.raises(OSError, match="disk full"):
+        analyzer.wait_for_async_saves()
+    assert analyzer._pending_saves == []
