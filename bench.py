@@ -46,7 +46,7 @@ N_COV = _env("N_COV", 512 if QUICK else 4656)
 N_LAMBDA = _env("N_LAMBDA", 256 if QUICK else 4656)
 N_QUERY = _env("N_QUERY", 40 if QUICK else 481)
 N_TRAIN = _env("N_TRAIN", 1024 if QUICK else 4656)
-SEQ = 512
+SEQ = _env("SEQ", 512)
 # Flagship model form. Both were measured on the v5e (2026-08-17):
 #   unrolled: cov compile 262 s (round 1) / 153 s cached-load, steady 121 ex/s
 #   scan:     cov compile 681 s, steady 107.6 ex/s, lambda OOM at batch 32
@@ -334,7 +334,15 @@ def main():
 
     enable_persistent_cache(os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
-    _require_reachable_devices()
+    # KRON_BENCH_CPU=1: run on the host CPU backend (control-flow smoke tests
+    # only — the environment pins the TPU plugin, so a plain JAX_PLATFORMS
+    # env var is ignored; the override must go through jax.config).
+    if _env("CPU", 0):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        _require_reachable_devices()
 
     import jax
     import jax.numpy as jnp
@@ -360,12 +368,15 @@ def main():
 
     log(f"devices: {jax.devices()}")
 
+    # KRON_BENCH_LAYERS/VOCAB/DMODEL shrink the model for CPU smoke tests of
+    # the bench's own control flow (tests/test_examples.py); production runs
+    # never set them.
     config = TransformerConfig(
-        vocab_size=50257,
+        vocab_size=_env("VOCAB", 50257),
         max_seq_len=SEQ,
-        num_layers=12,
-        num_heads=12,
-        d_model=768,
+        num_layers=_env("LAYERS", 12),
+        num_heads=_env("HEADS", 12),
+        d_model=_env("DMODEL", 768),
         dtype=jnp.bfloat16,
         param_dtype=jnp.bfloat16,
     )
@@ -521,9 +532,6 @@ def main():
     force(eigen)
     stages["eigh"] = time.time() - t0
     log(f"eigendecomposition steady: {stages['eigh']:.1f}s")
-    # The raw covariances are dead weight from here on (~650 MB of HBM the
-    # lambda backward pass would otherwise compete with).
-    del cov
 
     # ---- Stage 3: lambda ----
     lam_data = make_data(N_LAMBDA, 3)
@@ -546,6 +554,37 @@ def main():
     stages["lambda"] = time.time() - t0
     lam_rate = N_LAMBDA / stages["lambda"]
     log(f"lambda steady: {lam_rate:.1f} ex/s")
+
+    # ---- Stage 2+3 pipelined: eigh dispatched into the lambda run ----
+    # This is the SHIPPED fit_all_factors path (analyzer.py): the
+    # eigendecomposition is handed to the lambda stage as in-flight device
+    # arrays, so the solver tail and the host-side force/fetch gaps hide
+    # behind the lambda stage's loader + dispatch work. Timed over a FRESH
+    # eigh dispatch + a full lambda pass; the full-mode e2e total uses this
+    # number in place of the two isolated rows (which remain reported as
+    # diagnostics — their sum exceeding the pipelined time is the measured
+    # win; round-3 VERDICT item 2).
+    pipe = None
+    if not QUICK:
+        del eigen, lam
+        t0 = time.time()
+        eigen = perform_eigendecomposition(cov, factor_args)
+        eigh_dispatch_s = time.time() - t0
+        lam = fit_lambda_matrices_with_loader(
+            model, params, task, BatchLoader(lam_data, LAMBDA_BATCH), factor_args,
+            eigen_factors=eigen,
+        )
+        force(lam)
+        pipe = time.time() - t0
+        log(
+            f"eigh+lambda pipelined: {pipe:.1f}s (eigh dispatch {eigh_dispatch_s:.1f}s; "
+            f"isolated sum {stages['eigh'] + stages['lambda']:.1f}s -> "
+            f"{stages['eigh'] + stages['lambda'] - pipe:.1f}s of eigh hidden "
+            f"behind the lambda stage)"
+        )
+    # The raw covariances are dead weight from here on (~650 MB of HBM the
+    # score stage's query block would otherwise compete with).
+    del cov
 
     # EKFAC preconditioning needs only the eigendecomposition + lambda
     # artifacts (reference load_all_factors requirements matrix). Keep them on
@@ -669,9 +708,12 @@ def main():
             "lambda": REF_TRAIN / lam_rate,
             "score": REF_QUERY * REF_TRAIN / pairs_rate,
         }
+        grand = sum(totals.values())
     else:
         totals = dict(stages)
-    grand = sum(totals.values())
+        # The e2e total counts the PIPELINED eigh+lambda region (the shipped
+        # fit_all_factors path), not the two isolated diagnostic rows.
+        grand = totals["cov"] + pipe + totals["score"]
     cold_total = grand + sum(warmups.values())
     ref = {"cov": REF_COV_S, "eigh": REF_EIGH_S, "lambda": REF_LAMBDA_S, "score": REF_SCORE_S}
     kind = "projected" if QUICK else "measured"
@@ -679,6 +721,11 @@ def main():
     log(f"{'stage':<10}{'ours (s)':>10}{'A100 fp32 (s)':>15}{'speedup':>9}")
     for k in ("cov", "eigh", "lambda", "score"):
         log(f"{k:<10}{totals[k]:>10.1f}{ref[k]:>15.1f}{ref[k] / totals[k]:>8.1f}x")
+    if pipe is not None:
+        log(
+            f"{'eigh+lam*':<10}{pipe:>10.1f}{REF_EIGH_S + REF_LAMBDA_S:>15.1f}"
+            f"{(REF_EIGH_S + REF_LAMBDA_S) / pipe:>8.1f}x   (*pipelined; used in total)"
+        )
     log(f"{'total':<10}{grand:>10.1f}{REF_TOTAL_S:>15.1f}{REF_TOTAL_S / grand:>8.1f}x")
     log(
         f"{kind} GPT-2/WikiText e2e: warm {grand:.0f}s, "
@@ -702,6 +749,11 @@ def main():
                 "e2e_warm_s": round(grand, 1),
                 "e2e_cold_s": round(cold_total, 1),
                 "e2e_vs_ref_fp32": round(REF_TOTAL_S / grand, 2),
+                **(
+                    {"eigh_lambda_pipelined_s": round(pipe, 1)}
+                    if pipe is not None
+                    else {}
+                ),
                 "stages_s": {k: round(v, 1) for k, v in totals.items()},
                 "warmups_s": {k: round(v, 1) for k, v in warmups.items()},
                 **fidelity,

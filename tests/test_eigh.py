@@ -198,6 +198,7 @@ def test_merged_dim_groups_match_lapack():
         assert np.abs(v.T @ v - np.eye(n)).max() < 5e-5
 
 
+@pytest.mark.tier2  # 38 s on the 1-core CI box — the slowest non-example test
 def test_spectral_dc_matches_lapack():
     """Host-driven spectral divide-and-conquer (ops/eigh_dc.py) vs LAPACK:
     wide covariance-like spectrum, a tight cluster, and rank deficiency."""
