@@ -116,14 +116,9 @@ class LlamaAttention(nn.Module):
         group = cfg.num_heads // cfg.num_kv_heads
         k = jnp.repeat(k, group, axis=1)
         v = jnp.repeat(v, group, axis=1)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(cfg.dtype)
-        causal = jnp.tril(jnp.ones((t, t), dtype=bool))[None, None]
-        mask = causal
-        if attention_mask is not None:
-            mask = mask & (attention_mask[:, None, None, :] > 0)
-        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        from kronfluence_tpu.ops.attention import scaled_dot_attention
+
+        out = scaled_dot_attention(q, k, v, attention_mask)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         return dense(d, "o_proj")(out)
 

@@ -61,14 +61,9 @@ class Attention(nn.Module):
             return z.reshape(b, t, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(head_dim).astype(cfg.dtype)
-        causal = jnp.tril(jnp.ones((t, t), dtype=bool))
-        mask = causal[None, None]
-        if attention_mask is not None:
-            mask = mask & (attention_mask[:, None, None, :] > 0)
-        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        from kronfluence_tpu.ops.attention import scaled_dot_attention
+
+        out = scaled_dot_attention(q, k, v, attention_mask)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         return nn.Dense(d, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="c_proj")(out)
 
@@ -200,14 +195,9 @@ def scanned_lm_apply(config: TransformerConfig, remat: bool = False):
             return z.reshape(b, t, cfg.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(head_dim).astype(cfg.dtype)
-        causal = jnp.tril(jnp.ones((t, t), dtype=bool))
-        mask = causal[None, None]
-        if attention_mask is not None:
-            mask = mask & (attention_mask[:, None, None, :] > 0)
-        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        from kronfluence_tpu.ops.attention import scaled_dot_attention
+
+        out = scaled_dot_attention(q, k, v, attention_mask)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         return knn.linear(
             out, cast(p["c_proj"]["kernel"]), cast(p["c_proj"]["bias"]),
