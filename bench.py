@@ -285,12 +285,17 @@ def concurrent_stage_warmup(
             {**fab_eigen, **fab_lambda}, factor_args, warm_score_args,
         )
 
-    # Staggered schedule: only eigh (the ~180s compile, small residents) runs
-    # on a thread; cov -> lambda -> score warm serially beside it. Running all
-    # four concurrently co-resided the score stage's query block + precondition
-    # states with every other stage's buffers and died RESOURCE_EXHAUSTED on
-    # the 16 GB chip; the serial chain (~120s) hides under eigh's compile
-    # anyway, so full concurrency buys nothing further.
+    # Staggered schedule: only eigh (the ~180s compile) runs on a thread;
+    # cov -> lambda warm serially beside it. Running all four concurrently
+    # co-resided the score stage's query block + precondition states with
+    # every other stage's buffers and died RESOURCE_EXHAUSTED on the 16 GB
+    # chip. The score warmup (the largest residents: query block + precond
+    # states + train superstep transients) additionally waits for the eigh
+    # thread to JOIN — measured 2026-08-20 on a fresh machine: with the
+    # flash-attention train superstep, score's real train pass OOMs while
+    # QDWH's multi-GB workspace is still live. cov+lambda (~120s) hide under
+    # eigh's compile; only score pays serial time, and it alone holds the
+    # chip when it runs.
     errors, durations = {}, {}
 
     def run(name, fn):
@@ -305,12 +310,13 @@ def concurrent_stage_warmup(
         target=run, args=("eigh", warm_eigh), daemon=True
     )
     eigh_thread.start()
-    for name, fn in (("cov", warm_cov), ("lambda", warm_lambda),
-                     ("score", warm_score)):
+    for name, fn in (("cov", warm_cov), ("lambda", warm_lambda)):
         run(name, fn)
         if name in errors:
             break
     eigh_thread.join()
+    if not errors:
+        run("score", warm_score)
     if errors:
         name, exc = next(iter(errors.items()))
         raise RuntimeError(f"concurrent {name} warmup failed") from exc
