@@ -89,6 +89,10 @@ FIDELITY = bool(_env("FIDELITY", 0 if QUICK else 1))
 # are small residuals (one real execution each). Cold total then counts
 # concurrent wall + residuals, honestly comparable to the sequential mode.
 CONCURRENT_WARMUP = bool(_env("CONCURRENT_WARMUP", 0))
+# KRON_BENCH_ONLY=cov: stop after the covariance stage with a cov-only JSON
+# line — targeted stage A/Bs (batch size, syrk mode) at the PRODUCTION
+# dataset size without paying the remaining ~5 min of e2e per data point.
+ONLY = os.environ.get("KRON_BENCH_ONLY", "")
 
 
 def log(msg):
@@ -526,6 +530,19 @@ def main():
     stages["cov"] = time.time() - t0
     cov_rate = N_COV / stages["cov"]
     log(f"covariance steady: {cov_rate:.1f} ex/s")
+
+    if ONLY == "cov":
+        print(json.dumps({
+            "metric": "covariance_throughput", "value": round(cov_rate, 1),
+            "unit": "examples/s",
+            "vs_baseline": round(cov_rate / (REF_TRAIN / REF_COV_S), 2),
+            "detail": {
+                "n": N_COV, "batch": COV_BATCH,
+                "steady_s": round(stages["cov"], 1),
+                "warmup_s": round(warmups["cov"], 1),
+            },
+        }))
+        return
 
     # ---- Stage 2: eigendecomposition (on-device Jacobi, actual dims) ----
     t0 = time.time()

@@ -713,8 +713,15 @@ def eigh_large(matrices, _device_solver=None) -> Tuple[np.ndarray, np.ndarray]:
                 per_matrix_s,
             )
 
+    import logging
+    import time as _time
+
+    from kronfluence_tpu.utils.logger import get_logger
+
+    _log = get_logger("kronfluence_tpu.ops.eigh", level=logging.INFO)
     ev_parts, vec_parts = [], []
     for i in range(host_A.shape[0]):
+        t_mat = _time.time()
         ev_np = vec_np = None
         if solve is not None:
             dev = None
@@ -746,6 +753,12 @@ def eigh_large(matrices, _device_solver=None) -> Tuple[np.ndarray, np.ndarray]:
             vec_np = vech.astype(np.float32)
         ev_parts.append(ev_np)
         vec_parts.append(vec_np)
+        # Multi-minute solves: per-matrix progress so hour-scale runs are
+        # observable (stderr-visible via the rank-gated logger).
+        _log.info(
+            "eigh_large: matrix %d/%d (dim %d) solved in %.1f s",
+            i + 1, host_A.shape[0], n, _time.time() - t_mat,
+        )
     evals = np.stack(ev_parts).reshape(batch_shape + (n,))
     vecs = np.stack(vec_parts).reshape(batch_shape + (n, n))
     return evals, vecs
