@@ -105,6 +105,12 @@ def main():
     factor_args.covariance_data_partitions = args.data_partitions
     factor_args.lambda_data_partitions = args.data_partitions
     factor_args.eigendecomposition_dtype = "float32"  # on-device batched eigh
+    # One-off shapes: the blocked-Jacobi solver compiles in seconds. QDWH's
+    # minutes-long per-shape remote compile (never amortized for a single
+    # run) stalled the 2026-08-20 8B-shape attempts before the first solve.
+    # The >= LARGE_EIGH_DIM (14336) factors route through per-matrix
+    # eigh_large regardless of this knob.
+    factor_args.eigendecomposition_solver = "jacobi"
 
     analyzer = Analyzer("openwebtext", model, task, params=params, mesh=mesh,
                         output_dir=args.output_dir, profile=True)

@@ -215,17 +215,36 @@ def _device_eigendecomposition(covariance_factors, eigen_factors, solver="auto")
         for module_name, mat in covariance_factors[cov_name].items():
             groups.setdefault(mat.shape[0], []).append((pair_idx, module_name))
     merged = _merge_dim_groups(groups)
+    # Hour-scale Llama-dim runs sit in silent device/compile waits for many
+    # minutes; per-group progress makes them observable (INFO level).
+    import logging
+
+    from kronfluence_tpu.utils.logger import get_logger
+
+    _log = get_logger("kronfluence_tpu.factor.eigen", level=logging.INFO)
+    _log.info(
+        "eigendecomposition groups: %s",
+        {t: len(e) for t, e in merged.items()},
+    )
     if solver in ("auto", "qdwh"):
         # Compile every group's QDWH executable on threads FIRST (the remote
         # compile server parallelizes distinct programs): cold eigh warmup
         # drops from the sum of per-shape compiles (~415 s for GPT-2's three
         # merged groups) to roughly the slowest one. No-op once warmed.
-        prewarm_stock_eigh(
+        small = [
             (len(entries), target)
             for target, entries in merged.items()
             if target < LARGE_EIGH_DIM
-        )
+        ]
+        if small:
+            _log.info("prewarming QDWH executables for %s (blocks until compiled)", small)
+        prewarm_stock_eigh(small)
     for target, entries in merged.items():
+        _log.info(
+            "eigendecomposition group dim=%d (%d matrices): %s",
+            target, len(entries),
+            "per-matrix eigh_large" if target >= LARGE_EIGH_DIM else solver,
+        )
         if target >= LARGE_EIGH_DIM:
             # Llama-scale dims: NEVER assemble the group as one device batch
             # (6 x 14336^2 fp32 is ~4.9 GB before any solver workspace — the
