@@ -420,7 +420,11 @@ def eigh_stock_batched(
 # workspace for a single 14336^2 fp32 matrix is already multiple GB) with a
 # host-LAPACK fp64 fallback on device memory exhaustion — the TPU analogue of
 # the reference's GPU->CPU OOM retry (kronfluence/factor/eigen.py:199-213).
-LARGE_EIGH_DIM = 6144
+
+# KF_LARGE_EIGH_DIM lowers the threshold when a backend's dispatch limits
+# make even mid-size batched solves fragile (per-matrix host-driven sweeps
+# at 4096 cost ~10 s each — cheap insurance on flaky tunnels).
+LARGE_EIGH_DIM = int(os.environ.get("KF_LARGE_EIGH_DIM", 6144))
 
 
 @partial(
