@@ -152,11 +152,22 @@ class FactorComputer(Computer):
         if not factor_io.covariance_matrices_exist(source_dir):
             raise FactorsNotFoundError(f"Covariance matrices not found in {source_dir}.")
         covariance = factor_io.load_covariance_matrices(source_dir)
+        # Per-matrix crash checkpoints for Llama-scale (>= LARGE_EIGH_DIM)
+        # factors: solves are ~10+ min each, and a crash late in the stage
+        # must not forfeit the completed ones. Cleared after the aggregate
+        # artifact is on disk.
+        scratch_dir = factors_dir / "eigendecomposition_scratch"
         with self.profiler.profile("Perform Eigendecomposition"):
-            eigen = _perform_eigendecomposition(covariance, factor_args, self.profiler)
+            eigen = _perform_eigendecomposition(
+                covariance, factor_args, self.profiler, scratch_dir=scratch_dir
+            )
 
         def _save() -> None:
             factor_io.save_eigendecomposition(factors_dir, eigen)
+            if scratch_dir.exists():
+                import shutil
+
+                shutil.rmtree(scratch_dir, ignore_errors=True)
             self.logger.info(f"Saved eigendecomposition results at {factors_dir}.")
 
         if async_save:

@@ -19,6 +19,7 @@ Redesign of reference kronfluence/factor/eigen.py:140-462:
 """
 
 from functools import partial
+from pathlib import Path
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -154,7 +155,9 @@ def _split_group_results(evals, evecs, dims, dtype_names):
     return tuple(out)
 
 
-def _large_group_eigendecomposition(covariance_factors, eigen_factors, entries) -> None:
+def _large_group_eigendecomposition(
+    covariance_factors, eigen_factors, entries, scratch_dir=None
+) -> None:
     """Per-matrix path for dims >= LARGE_EIGH_DIM (Llama MLP factors).
 
     Normalization and symmetrization happen HOST-side (an n^2 pass is
@@ -164,6 +167,12 @@ def _large_group_eigendecomposition(covariance_factors, eigen_factors, entries) 
     whole group (~4.9 GB at 14336) plus workspace plus all eigenvectors on a
     16 GB chip at once — the exact OOM that killed the first recorded
     8B-shape run.
+
+    `scratch_dir`: when given, each solved matrix's eigenpairs are
+    checkpointed there immediately and reloaded on a rerun — at ~10+ min per
+    14336^2 solve, a crash late in the stage must not forfeit the earlier
+    solves (both recorded 2026-08-19/20 8B-shape failures died here). The
+    orchestrator deletes the scratch once the aggregate artifact is saved.
     """
     from kronfluence_tpu.ops.eigh import eigh_large
 
@@ -171,15 +180,37 @@ def _large_group_eigendecomposition(covariance_factors, eigen_factors, entries) 
         cov_name, count_name, evec_name, eval_name = _FACTOR_PAIRS[pair_idx]
         original = covariance_factors[cov_name][module_name]
         out_dtype = np.dtype(original.dtype)
+        ckpt = None
+        if scratch_dir is not None:
+            safe = module_name.replace("/", "__")
+            ckpt = Path(scratch_dir) / f"{eval_name}.{safe}.safetensors"
+            if ckpt.exists():
+                from kronfluence_tpu.utils.save import load_file
+
+                saved = load_file(ckpt)
+                eigen_factors[eval_name][module_name] = saved["evals"]
+                eigen_factors[evec_name][module_name] = saved["evecs"]
+                continue
         count = float(np.asarray(covariance_factors[count_name][module_name]))
         M = np.asarray(original, dtype=np.float32) / count
         M = 0.5 * (M + M.T)
         ev, vec = eigh_large(M[None])
-        eigen_factors[eval_name][module_name] = ev[0].astype(out_dtype)
-        eigen_factors[evec_name][module_name] = vec[0].astype(out_dtype)
+        evals = ev[0].astype(out_dtype)
+        evecs = vec[0].astype(out_dtype)
+        if ckpt is not None:
+            from kronfluence_tpu.utils.save import save_file
+
+            ckpt.parent.mkdir(parents=True, exist_ok=True)
+            tmp = ckpt.with_suffix(".tmp")
+            save_file({"evals": evals, "evecs": evecs}, tmp)
+            tmp.replace(ckpt)
+        eigen_factors[eval_name][module_name] = evals
+        eigen_factors[evec_name][module_name] = evecs
 
 
-def _device_eigendecomposition(covariance_factors, eigen_factors, solver="auto") -> None:
+def _device_eigendecomposition(
+    covariance_factors, eigen_factors, solver="auto", scratch_dir=None
+) -> None:
     """fp32 on-device path: normalization, symmetrization, and the eigensolver
     all run on the accelerator, batched over same-dimension factor matrices;
     nothing round-trips to the host.
@@ -250,7 +281,9 @@ def _device_eigendecomposition(covariance_factors, eigen_factors, solver="auto")
             # (6 x 14336^2 fp32 is ~4.9 GB before any solver workspace — the
             # failure mode of the first recorded 8B-shape run). Each matrix is
             # normalized host-side and solved alone; see eigh_large.
-            _large_group_eigendecomposition(covariance_factors, eigen_factors, entries)
+            _large_group_eigendecomposition(
+                covariance_factors, eigen_factors, entries, scratch_dir
+            )
             continue
         # Sub-stack per (family, original dim) — one static pad shape each —
         # concatenated into the shared (x, target, target) batch, all inside
@@ -306,11 +339,14 @@ def perform_eigendecomposition(
     covariance_factors: Dict[str, Dict[str, np.ndarray]],
     factor_args: Optional[FactorArguments] = None,
     profiler=None,
+    scratch_dir=None,
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """Eigendecomposes both covariance factors of every module.
 
     float32 (production TPU path) runs entirely on device via the blocked
     Jacobi solver; float64 matches the reference's host LAPACK numerics.
+    `scratch_dir` enables per-matrix crash checkpoints for >= LARGE_EIGH_DIM
+    factors (see _large_group_eigendecomposition).
     """
     from kronfluence_tpu.utils.logger import PassThroughProfiler
 
@@ -329,7 +365,9 @@ def perform_eigendecomposition(
     if dtype_name == "float32" and jax.default_backend() != "cpu":
         solver = getattr(factor_args, "eigendecomposition_solver", "auto")
         with profiler.profile("Eigendecomposition: device eigh"):
-            _device_eigendecomposition(covariance_factors, eigen_factors, solver)
+            _device_eigendecomposition(
+                covariance_factors, eigen_factors, solver, scratch_dir
+            )
     else:
         with profiler.profile("Eigendecomposition: host fp64 eigh"):
             _host_eigendecomposition(covariance_factors, eigen_factors, dtype_name)

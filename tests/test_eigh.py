@@ -269,3 +269,53 @@ def test_batch_chunking_consistency():
     np.testing.assert_allclose(
         np.asarray(ev_all[2]), np.asarray(ev_one[0]), rtol=1e-4, atol=1e-5
     )
+
+
+def test_large_group_scratch_checkpoint(tmp_path, monkeypatch):
+    """Per-matrix crash checkpoints: a rerun loads saved eigenpairs instead
+    of re-solving (proven by tampering with a checkpoint and observing the
+    tampered values in the rerun's output)."""
+    import kronfluence_tpu.ops.eigh as eigh_mod
+    from kronfluence_tpu.factor.eigen import (
+        _FACTOR_PAIRS,
+        _device_eigendecomposition,
+    )
+    from kronfluence_tpu.utils.save import load_file, save_file
+
+    monkeypatch.setattr(eigh_mod, "LARGE_EIGH_DIM", 8)
+    monkeypatch.setenv("KF_LARGE_EIGH_SOLVER", "host")
+    n = 8
+    rng = np.random.RandomState(0)
+    cov_factors = {}
+    for pair_idx, (cov_name, count_name, _evec, _eval) in enumerate(_FACTOR_PAIRS):
+        a = rng.randn(2, n, n).astype(np.float32)
+        mats = np.einsum("bij,bkj->bik", a, a) + n * np.eye(n, dtype=np.float32)
+        cov_factors[cov_name] = {f"m{i}": mats[i] for i in range(2)}
+        cov_factors[count_name] = {f"m{i}": np.float32(1.0) for i in range(2)}
+
+    def run(scratch):
+        eigen = {
+            name: {}
+            for pair in _FACTOR_PAIRS
+            for name in pair[2:]
+        }
+        _device_eigendecomposition(cov_factors, eigen, "jacobi", scratch)
+        return eigen
+
+    scratch = tmp_path / "scratch"
+    first = run(scratch)
+    ckpts = sorted(scratch.glob("*.safetensors"))
+    assert len(ckpts) == 4  # 2 modules x 2 factor families
+    # Accuracy of the solved path.
+    eval_name = _FACTOR_PAIRS[0][3]
+    ref = np.linalg.eigh(cov_factors[_FACTOR_PAIRS[0][0]]["m0"].astype(np.float64))[0]
+    got = np.sort(np.asarray(first[eval_name]["m0"], np.float64))
+    assert np.abs(got - ref).max() < 1e-2 * abs(ref).max()
+    # Tamper with one checkpoint; the rerun must surface the tampered values.
+    tampered = load_file(ckpts[0])
+    tampered["evals"] = np.full_like(tampered["evals"], 7.0)
+    save_file(tampered, ckpts[0])
+    second = run(scratch)
+    name = ckpts[0].name.split(".")[1]
+    family_eval = ckpts[0].name.split(".")[0]
+    assert np.allclose(np.asarray(second[family_eval][name]), 7.0)
