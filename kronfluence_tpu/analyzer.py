@@ -49,6 +49,14 @@ class Analyzer(FactorComputer, ScoreComputer):
             disable_tqdm=disable_tqdm,
             output_dir=output_dir,
         )
+        # On-disk XLA executable cache (KRONFLUENCE_TPU_CACHE_DIR=off to
+        # disable): a preempted run that resumes from partitioned/per-matrix
+        # artifacts must not re-pay minutes of stage compiles — at Llama dims
+        # the large-eigh sweep program alone is a ~450 s compile (recorded
+        # 2026-08-21 8B-shape run), larger than many of the solves it guards.
+        from kronfluence_tpu.utils.platform import enable_persistent_cache
+
+        enable_persistent_cache()
         if not disable_model_save:
             self._save_model()
 
