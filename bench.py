@@ -25,6 +25,10 @@ import time
 
 import numpy as np
 
+# Wall-clock anchor for the optional-phase budget (KRON_BENCH_BUDGET_S is
+# measured from process start, approximating the driver's external timeout).
+T_START = time.time()
+
 # Reference workload constants (examples/wikitext/README.md).
 REF_TRAIN = 4656
 REF_QUERY = 481
@@ -72,14 +76,21 @@ QUERY_BATCH = _env("QUERY_BATCH", 8)
 QUERY_ACC = _env("QUERY_ACC", 0)  # accumulation steps; 0 = auto from memory model
 TRAIN_BATCH = _env("TRAIN_BATCH", 16)
 N_QUERY = max(N_QUERY, QUERY_BATCH * max(QUERY_ACC, 1))
-# KRON_BENCH_FIDELITY: after the timed low-precision run, score the FULL
-# query set again in fp32 and report Pearson/Spearman correlation over all
-# N_QUERY x N_TRAIN pairs — apples-to-apples with the reference's published
-# 0.96 over 481 queries (examples/wikitext/README.md:97; round-3 VERDICT
-# weak #5 flagged the earlier one-block certificate). The timed run's own
-# scores are the low-precision side, so fidelity adds exactly one fp32
-# scoring pass. Defaults ON for the FULL driver run; QUICK tuning runs skip.
+# KRON_BENCH_FIDELITY: after the timed low-precision run, score the query
+# set again in fp32 and report Pearson/Spearman correlation — apples-to-apples
+# with the reference's published 0.96 over 481 queries
+# (examples/wikitext/README.md:97). The timed run's own scores are the
+# low-precision side, so fidelity adds exactly one fp32 scoring pass.
+# Defaults ON for the FULL driver run; QUICK tuning runs skip.
+#
+# STRUCTURE (round-4 postmortem): the primary JSON metric line is printed
+# IMMEDIATELY after the timed pairwise run — fidelity is an optional phase
+# that can only ADD a second, enriched JSON line, never forfeit the metric.
+# The fp32 pass is wall-clock-budgeted against KRON_BENCH_BUDGET_S (time
+# left before the driver's timeout): full width when it fits, a one-block
+# certificate (labeled as such) when short, skipped when there is no room.
 FIDELITY = bool(_env("FIDELITY", 0 if QUICK else 1))
+BUDGET_S = float(_env("BUDGET_S", 1080))
 # KRON_BENCH_CONCURRENT_WARMUP: pre-warm all four stages' executables on
 # threads before any stage is timed. Stage programs are independent; eigh/
 # lambda/score warm against FABRICATED factor inputs with exactly the
@@ -578,33 +589,13 @@ def main():
     lam_rate = N_LAMBDA / stages["lambda"]
     log(f"lambda steady: {lam_rate:.1f} ex/s")
 
-    # ---- Stage 2+3 pipelined: eigh dispatched into the lambda run ----
-    # This is the SHIPPED fit_all_factors path (analyzer.py): the
-    # eigendecomposition is handed to the lambda stage as in-flight device
-    # arrays, so the solver tail and the host-side force/fetch gaps hide
-    # behind the lambda stage's loader + dispatch work. Timed over a FRESH
-    # eigh dispatch + a full lambda pass; the full-mode e2e total uses this
-    # number in place of the two isolated rows (which remain reported as
-    # diagnostics — their sum exceeding the pipelined time is the measured
-    # win; round-3 VERDICT item 2).
-    pipe = None
-    if not QUICK:
-        del eigen, lam
-        t0 = time.time()
-        eigen = perform_eigendecomposition(cov, factor_args)
-        eigh_dispatch_s = time.time() - t0
-        lam = fit_lambda_matrices_with_loader(
-            model, params, task, BatchLoader(lam_data, LAMBDA_BATCH), factor_args,
-            eigen_factors=eigen,
-        )
-        force(lam)
-        pipe = time.time() - t0
-        log(
-            f"eigh+lambda pipelined: {pipe:.1f}s (eigh dispatch {eigh_dispatch_s:.1f}s; "
-            f"isolated sum {stages['eigh'] + stages['lambda']:.1f}s -> "
-            f"{stages['eigh'] + stages['lambda'] - pipe:.1f}s of eigh hidden "
-            f"behind the lambda stage)"
-        )
+    # NOTE: round 4 timed a "pipelined" eigh+lambda region here (a second
+    # eigh dispatch + a second full lambda pass). Its own log measured
+    # -0.2 s of eigh hidden — on a single-stream TPU the device QDWH time
+    # cannot overlap device lambda math, so the region re-ran ~41 s of
+    # work to learn nothing. Dropped from the default path (round-4 VERDICT
+    # next-round #1); the shipped fit_all_factors path still hands eigen
+    # factors to lambda in-flight, which hides the HOST side (fetch+save).
     # The raw covariances are dead weight from here on (~650 MB of HBM the
     # score stage's query block would otherwise compete with).
     del cov
@@ -681,49 +672,12 @@ def main():
     pairs_rate = (N_QUERY * N_TRAIN) / stages["score"]
     log(f"pairwise steady: {pairs_rate:.0f} pairs/s")
 
-    # ---- Optional: low-precision <-> fp32 score fidelity, FULL WIDTH ----
-    # The timed run's own scores are the low-precision side; one extra full
-    # fp32 scoring pass gives the certificate over every (query, train) pair
-    # — the reference's 0.96 is over all 481 queries
-    # (examples/wikitext/README.md:97).
-    fidelity = {}
-    if FIDELITY:
-        s_lowp = np.asarray(timed_scores["all_modules"], np.float64)
-        del timed_scores
-        log(f"fidelity: scoring all {N_QUERY} queries in fp32")
-        q_loader = BatchLoader(query_data, QUERY_BATCH)
-        t_loader = BatchLoader(train_data, TRAIN_BATCH)
-        s_fp32 = np.asarray(
-            compute_pairwise_scores_with_loaders(
-                model, params, task, q_loader, t_loader,
-                factors, factor_args, fp32_score_args,
-            )["all_modules"],
-            np.float64,
-        )
-        pear, spear = [], []
-        for q in range(N_QUERY):
-            a, b = s_lowp[q], s_fp32[q]
-            pear.append(np.corrcoef(a, b)[0, 1])
-            ra = np.argsort(np.argsort(a)).astype(np.float64)
-            rb = np.argsort(np.argsort(b)).astype(np.float64)
-            spear.append(np.corrcoef(ra, rb)[0, 1])
-        fidelity = {
-            "pearson_bf16_fp32": round(float(np.mean(pear)), 4),
-            "spearman_bf16_fp32": round(float(np.mean(spear)), 4),
-            "queries": N_QUERY,
-            "train": N_TRAIN,
-        }
-        log(
-            f"low-precision<->fp32 score correlation ({N_QUERY} queries x "
-            f"{N_TRAIN} train): pearson {fidelity['pearson_bf16_fp32']:.4f}, "
-            f"spearman {fidelity['spearman_bf16_fp32']:.4f} "
-            f"(reference publishes 0.96 over 481 queries)"
-        )
-
-    # ---- Totals vs the full reference workload ----
+    # ---- Totals vs the full reference workload + PRIMARY JSON LINE ----
     # Full mode (default): every stage RAN the reference-size workload above,
     # so `totals` are measured wall-clock, not extrapolations. Quick mode
     # scales the measured steady-state rates to the reference sizes.
+    # The metric line prints NOW — optional phases below can only enrich it
+    # with a second JSON line, never forfeit it (round-4 VERDICT weak #1).
     if QUICK:
         totals = {
             "cov": REF_TRAIN / cov_rate,
@@ -731,12 +685,9 @@ def main():
             "lambda": REF_TRAIN / lam_rate,
             "score": REF_QUERY * REF_TRAIN / pairs_rate,
         }
-        grand = sum(totals.values())
     else:
         totals = dict(stages)
-        # The e2e total counts the PIPELINED eigh+lambda region (the shipped
-        # fit_all_factors path), not the two isolated diagnostic rows.
-        grand = totals["cov"] + pipe + totals["score"]
+    grand = sum(totals.values())
     cold_total = grand + sum(warmups.values())
     ref = {"cov": REF_COV_S, "eigh": REF_EIGH_S, "lambda": REF_LAMBDA_S, "score": REF_SCORE_S}
     kind = "projected" if QUICK else "measured"
@@ -744,11 +695,6 @@ def main():
     log(f"{'stage':<10}{'ours (s)':>10}{'A100 fp32 (s)':>15}{'speedup':>9}")
     for k in ("cov", "eigh", "lambda", "score"):
         log(f"{k:<10}{totals[k]:>10.1f}{ref[k]:>15.1f}{ref[k] / totals[k]:>8.1f}x")
-    if pipe is not None:
-        log(
-            f"{'eigh+lam*':<10}{pipe:>10.1f}{REF_EIGH_S + REF_LAMBDA_S:>15.1f}"
-            f"{(REF_EIGH_S + REF_LAMBDA_S) / pipe:>8.1f}x   (*pipelined; used in total)"
-        )
     log(f"{'total':<10}{grand:>10.1f}{REF_TOTAL_S:>15.1f}{REF_TOTAL_S / grand:>8.1f}x")
     log(
         f"{kind} GPT-2/WikiText e2e: warm {grand:.0f}s, "
@@ -758,32 +704,104 @@ def main():
         f"ref bf16 786s -> {786 / grand:.2f}x warm)"
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "gpt2_wikitext_ekfac_pairwise_throughput",
-                "value": round(pairs_rate, 1),
-                "unit": "pairs/sec/chip",
-                "vs_baseline": round(pairs_rate / REF_PAIRS_PER_S, 3),
-                "mode": "quick_projected" if QUICK else "full_measured",
-                "model_form": MODEL_FORM,
-                "query_storage_dtype": query_storage,
-                "query_block": QUERY_BATCH * query_acc,
-                "e2e_warm_s": round(grand, 1),
-                "e2e_cold_s": round(cold_total, 1),
-                "e2e_vs_ref_fp32": round(REF_TOTAL_S / grand, 2),
-                **(
-                    {"eigh_lambda_pipelined_s": round(pipe, 1)}
-                    if pipe is not None
-                    else {}
-                ),
-                "stages_s": {k: round(v, 1) for k, v in totals.items()},
-                "warmups_s": {k: round(v, 1) for k, v in warmups.items()},
-                **fidelity,
-            }
-        ),
-        flush=True,
+    record = {
+        "metric": "gpt2_wikitext_ekfac_pairwise_throughput",
+        "value": round(pairs_rate, 1),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(pairs_rate / REF_PAIRS_PER_S, 3),
+        "mode": "quick_projected" if QUICK else "full_measured",
+        "model_form": MODEL_FORM,
+        "chip": "v5e (tunneled, 1-core host)",
+        "query_storage_dtype": query_storage,
+        "query_block": QUERY_BATCH * query_acc,
+        "e2e_warm_s": round(grand, 1),
+        "e2e_cold_s": round(cold_total, 1),
+        "e2e_vs_ref_fp32": round(REF_TOTAL_S / grand, 2),
+        "stages_s": {k: round(v, 1) for k, v in totals.items()},
+        "warmups_s": {k: round(v, 1) for k, v in warmups.items()},
+    }
+    print(json.dumps(record), flush=True)
+
+    # ---- Optional phase: low-precision <-> fp32 score fidelity ----
+    # Budgeted: the fp32 pass runs at roughly half the bf16 throughput, so
+    # full width costs ~2.2x the timed score stage (+ compile slack). If the
+    # remaining wall budget can't cover that, certify one query block
+    # instead (labeled "one_block"); if not even that fits, skip. Any
+    # exception here is logged, not raised — the metric above already stands.
+    if FIDELITY:
+        try:
+            fidelity = _fidelity_phase(
+                timed_scores, model, params, task, query_data, train_data,
+                factors, factor_args, fp32_score_args, stages,
+            )
+            if fidelity:
+                record.update(fidelity)
+                print(json.dumps(record), flush=True)
+        except Exception as exc:  # noqa: BLE001 — metric already printed
+            log(f"fidelity phase failed (metric above stands): {exc!r}")
+
+
+def _fidelity_phase(
+    timed_scores, model, params, task, query_data, train_data,
+    factors, factor_args, fp32_score_args, stages,
+):
+    """Budget-aware fp32 fidelity certificate. Returns {} when skipped."""
+    from kronfluence_tpu.score.pairwise import compute_pairwise_scores_with_loaders
+    from kronfluence_tpu.utils.dataset import BatchLoader
+
+    elapsed = time.time() - T_START
+    remaining = BUDGET_S - elapsed
+    block = min(
+        N_QUERY,
+        QUERY_BATCH * (fp32_score_args.query_gradient_accumulation_steps or 1),
     )
+    est_full = 2.2 * stages["score"] + 60.0
+    est_block = 2.2 * stages["score"] * max(block, QUERY_BATCH) / N_QUERY + 60.0
+    if remaining >= est_full:
+        n_q, scope = N_QUERY, "full_width"
+    elif remaining >= est_block:
+        n_q, scope = max(block, QUERY_BATCH), "one_block"
+    else:
+        log(
+            f"fidelity: skipped — {remaining:.0f}s of budget left, one-block "
+            f"pass needs ~{est_block:.0f}s"
+        )
+        return {}
+    s_lowp = np.asarray(timed_scores["all_modules"], np.float64)[:n_q]
+    log(
+        f"fidelity [{scope}]: scoring {n_q} queries in fp32 "
+        f"(budget {remaining:.0f}s left, est ~{est_full if scope == 'full_width' else est_block:.0f}s)"
+    )
+    s_fp32 = np.asarray(
+        compute_pairwise_scores_with_loaders(
+            model, params, task,
+            BatchLoader(query_data, QUERY_BATCH, indices=np.arange(n_q)),
+            BatchLoader(train_data, TRAIN_BATCH),
+            factors, factor_args, fp32_score_args,
+        )["all_modules"],
+        np.float64,
+    )
+    pear, spear = [], []
+    for q in range(n_q):
+        a, b = s_lowp[q], s_fp32[q]
+        pear.append(np.corrcoef(a, b)[0, 1])
+        ra = np.argsort(np.argsort(a)).astype(np.float64)
+        rb = np.argsort(np.argsort(b)).astype(np.float64)
+        spear.append(np.corrcoef(ra, rb)[0, 1])
+    fidelity = {
+        "pearson_bf16_fp32": round(float(np.mean(pear)), 4),
+        "spearman_bf16_fp32": round(float(np.mean(spear)), 4),
+        "fidelity_scope": scope,
+        "queries": n_q,
+        "train": N_TRAIN,
+    }
+    log(
+        f"low-precision<->fp32 score correlation ({n_q} queries x "
+        f"{N_TRAIN} train, {scope}): pearson {fidelity['pearson_bf16_fp32']:.4f}, "
+        f"spearman {fidelity['spearman_bf16_fp32']:.4f} "
+        f"(reference publishes 0.96 over 481 queries)"
+    )
+    return fidelity
 
 
 if __name__ == "__main__":

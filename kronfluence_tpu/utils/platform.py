@@ -76,13 +76,28 @@ def enable_persistent_cache(path: Optional[str] = None) -> None:
     env = os.environ.get("KRONFLUENCE_TPU_CACHE_DIR")
     if env is not None and env.lower() in ("0", "off", "none", ""):
         return
+    # Respect a cache another layer already configured (e.g. the test
+    # conftest's tests/.jax_test_cache with min_compile_time 0): silently
+    # redirecting it from a library constructor would both move the cache and
+    # stop caching sub-2s compiles, defeating that layer's setup.
+    if jax.config.jax_compilation_cache_dir:
+        _CACHE_ENABLED = True
+        return
     cache_dir = path or env or os.path.join(
         os.path.expanduser("~"), ".cache", "kronfluence_tpu_xla"
     )
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except OSError as exc:  # read-only/unset HOME: run uncached, don't raise
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "persistent XLA cache disabled (cannot create %s: %s)", cache_dir, exc
+        )
+        return
     _CACHE_ENABLED = True
 
 
