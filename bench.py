@@ -733,6 +733,8 @@ def main():
             fidelity = _fidelity_phase(
                 timed_scores, model, params, task, query_data, train_data,
                 factors, factor_args, fp32_score_args, stages,
+                timed_block=QUERY_BATCH * query_acc,
+                timed_bytes=1 if (query_storage or "").startswith("float8") else 2,
             )
             if fidelity:
                 record.update(fidelity)
@@ -744,23 +746,32 @@ def main():
 def _fidelity_phase(
     timed_scores, model, params, task, query_data, train_data,
     factors, factor_args, fp32_score_args, stages,
+    timed_block, timed_bytes,
 ):
-    """Budget-aware fp32 fidelity certificate. Returns {} when skipped."""
+    """Budget-aware fp32 fidelity certificate. Returns {} when skipped.
+
+    Cost model: the fp32 comparison pass stores query blocks at 4 bytes/elem
+    vs the timed run's `timed_bytes`, so its memory-sized block shrinks by
+    that ratio and the pass count grows by it; each fp32 train pass also runs
+    the fwd+bwd+psg math in fp32 (~1.8x a bf16-psg pass, measured r3/r5).
+    The r4 bench died exactly here — a full-width fp32 pass after an fp8 run
+    is ~7x the timed stage, not the 2.2x the old estimate assumed.
+    """
     from kronfluence_tpu.score.pairwise import compute_pairwise_scores_with_loaders
     from kronfluence_tpu.utils.dataset import BatchLoader
 
     elapsed = time.time() - T_START
     remaining = BUDGET_S - elapsed
-    block = min(
-        N_QUERY,
-        QUERY_BATCH * (fp32_score_args.query_gradient_accumulation_steps or 1),
-    )
-    est_full = 2.2 * stages["score"] + 60.0
-    est_block = 2.2 * stages["score"] * max(block, QUERY_BATCH) / N_QUERY + 60.0
+    passes_timed = max(1, -(-N_QUERY // max(timed_block, 1)))
+    per_pass = stages["score"] / passes_timed
+    block_fp32 = max(QUERY_BATCH, timed_block * timed_bytes // 4)
+    passes_fp32 = -(-N_QUERY // block_fp32)
+    est_full = passes_fp32 * per_pass * 1.8 + 60.0
+    est_block = per_pass * 1.8 + 60.0
     if remaining >= est_full:
         n_q, scope = N_QUERY, "full_width"
     elif remaining >= est_block:
-        n_q, scope = max(block, QUERY_BATCH), "one_block"
+        n_q, scope = block_fp32, "one_block"
     else:
         log(
             f"fidelity: skipped — {remaining:.0f}s of budget left, one-block "

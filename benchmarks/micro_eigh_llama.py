@@ -43,6 +43,17 @@ parser.add_argument(
     metavar=("PATH", "KEY"),
     help="safetensors file + tensor key of a real covariance to solve",
 )
+parser.add_argument(
+    "--block_size", type=int, default=32,
+    help="jacobi_host outer block size b (pivot blocks are 2b x 2b; "
+         "b=32 -> 447 rounds/sweep at 14336, b=64 -> 223)",
+)
+parser.add_argument(
+    "--batch", type=int, default=1,
+    help="solve this many DIFFERENT matrices in one batched call — measures "
+         "cross-matrix amortization of the per-round pivot-eigh latency "
+         "chain (round-4 VERDICT item 4)",
+)
 args = parser.parse_args()
 
 n = args.dim
@@ -51,7 +62,7 @@ if args.cov:
 
     mat = load_file(args.cov[0])[args.cov[1]].astype(np.float32)
     n = mat.shape[0]
-    A = jnp.asarray(0.5 * (mat + mat.T))
+    A = jnp.asarray(0.5 * (mat + mat.T))[None]
     print(f"loaded real covariance {args.cov[1]} ({n},{n})", file=sys.stderr)
 else:
 
@@ -64,7 +75,9 @@ else:
         m = gs @ gs.T
         return 0.5 * (m + m.T) + 1e-4 * jnp.eye(n, dtype=jnp.float32)
 
-    A = gen(jax.random.PRNGKey(n))
+    A = jnp.stack(
+        [gen(jax.random.PRNGKey(n + i)) for i in range(args.batch)]
+    )
 jax.block_until_ready(A)
 
 if args.solver == "qdwh":
@@ -76,17 +89,21 @@ elif args.solver == "jacobi_host":
 
     from kronfluence_tpu.ops.eigh import eigh_jacobi_hostloop
 
-    _solve = _partial(eigh_jacobi_hostloop, verbose=True)
+    _solve = _partial(
+        eigh_jacobi_hostloop, block_size=args.block_size, verbose=True
+    )
 else:
     from kronfluence_tpu.ops.eigh import eigh_batched as _solve
 
 for label in ("warmup(compile)", "steady"):
     t0 = time.time()
-    ev, vec = _solve(A[None])
+    ev, vec = _solve(A)
     jax.block_until_ready((ev, vec))
     np.asarray(ev[0, :1])
     print(
-        f"{args.solver} {label}: {time.time() - t0:.1f}s", file=sys.stderr, flush=True
+        f"{args.solver}[b={args.block_size},x={A.shape[0]}] {label}: "
+        f"{time.time() - t0:.1f}s",
+        file=sys.stderr, flush=True,
     )
 
 
@@ -100,14 +117,14 @@ def accuracy(A, ev, vec):
     return res, jnp.linalg.norm(eye) / np.sqrt(A.shape[0])
 
 
-res, orth = accuracy(A, ev[0], vec[0])
+res, orth = accuracy(A[0], ev[0], vec[0])
 print(
     f"{args.solver} residual {float(res):.2e} orthogonality {float(orth):.2e}",
     file=sys.stderr,
 )
 
 if args.host:
-    host = np.asarray(A, np.float64)
+    host = np.asarray(A[0], np.float64)
     t0 = time.time()
     hev, hvec = np.linalg.eigh(host)
     print(f"host fp64 LAPACK: {time.time() - t0:.1f}s", file=sys.stderr)

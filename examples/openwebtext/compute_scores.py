@@ -28,14 +28,21 @@ from kronfluence_tpu.utils.common.score_arguments import (
 
 def parse_args():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--arch", choices=("gpt2", "llama"), default="gpt2",
+                        help="must match the fit_factors.py run that saved "
+                             "the factors (llama = RMSNorm/RoPE/GQA/SwiGLU)")
     parser.add_argument("--num_layers", type=int, default=4)
     parser.add_argument("--d_model", type=int, default=512)
+    parser.add_argument("--d_mlp", type=int, default=None,
+                        help="llama MLP width (real 8B: 14336)")
     parser.add_argument("--num_heads", type=int, default=8)
+    parser.add_argument("--num_kv_heads", type=int, default=None)
     parser.add_argument("--seq_len", type=int, default=256)
     parser.add_argument("--vocab", type=int, default=8192)
     parser.add_argument("--num_train", type=int, default=256)
     parser.add_argument("--num_query", type=int, default=8)
     parser.add_argument("--per_device_batch_size", type=int, default=4)
+    parser.add_argument("--per_device_query_batch_size", type=int, default=4)
     parser.add_argument("--query_gradient_low_rank", type=int, default=64)
     parser.add_argument("--model_parallel", type=int, default=1)
     parser.add_argument("--output_dir", default="./influence_results/openwebtext")
@@ -46,13 +53,28 @@ def main():
     args = parse_args()
     mesh = make_mesh(model=args.model_parallel)
 
-    config = TransformerConfig(
-        vocab_size=args.vocab, max_seq_len=args.seq_len,
-        num_layers=args.num_layers, num_heads=args.num_heads, d_model=args.d_model,
-        dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
-    )
-    module = TransformerLM(config)
-    task = MLPOnlyLMTask(args.num_layers)
+    if args.arch == "llama":
+        from kronfluence_tpu.models.llama import LlamaConfig, LlamaLM
+
+        from examples.openwebtext.task import LlamaMLPOnlyTask
+
+        config = LlamaConfig(
+            vocab_size=args.vocab, max_seq_len=args.seq_len,
+            num_layers=args.num_layers, num_heads=args.num_heads,
+            num_kv_heads=args.num_kv_heads or max(1, args.num_heads // 4),
+            d_model=args.d_model, d_mlp=args.d_mlp or (args.d_model * 7 // 2),
+            dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+        )
+        module = LlamaLM(config)
+        task = LlamaMLPOnlyTask(args.num_layers)
+    else:
+        config = TransformerConfig(
+            vocab_size=args.vocab, max_seq_len=args.seq_len,
+            num_layers=args.num_layers, num_heads=args.num_heads, d_model=args.d_model,
+            dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+        )
+        module = TransformerLM(config)
+        task = MLPOnlyLMTask(args.num_layers)
     model = prepare_model(module, task)
     import jax
 
@@ -87,7 +109,9 @@ def main():
         )
     analyzer.compute_pairwise_scores(
         "prompt_scores", "ekfac", query_data, train_data,
-        per_device_query_batch_size=min(args.num_query, 4),
+        per_device_query_batch_size=min(
+            args.num_query, args.per_device_query_batch_size
+        ),
         per_device_train_batch_size=args.per_device_batch_size,
         score_args=score_args,
     )

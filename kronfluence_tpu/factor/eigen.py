@@ -176,6 +176,11 @@ def _large_group_eigendecomposition(
     """
     from kronfluence_tpu.ops.eigh import eigh_large
 
+    # Gather unsolved same-dim matrices so eigh_large can batch them through
+    # one sweep program (KF_LARGE_EIGH_BATCH; cross-matrix amortization of
+    # the per-round pivot dispatch chain). Checkpoints still land per matrix
+    # via on_result, as each host-side result arrives.
+    pending_by_dim: Dict[int, list] = {}
     for (pair_idx, module_name), _dim in entries:
         cov_name, count_name, evec_name, eval_name = _FACTOR_PAIRS[pair_idx]
         original = covariance_factors[cov_name][module_name]
@@ -191,21 +196,36 @@ def _large_group_eigendecomposition(
                 eigen_factors[eval_name][module_name] = saved["evals"]
                 eigen_factors[evec_name][module_name] = saved["evecs"]
                 continue
-        count = float(np.asarray(covariance_factors[count_name][module_name]))
-        M = np.asarray(original, dtype=np.float32) / count
-        M = 0.5 * (M + M.T)
-        ev, vec = eigh_large(M[None])
-        evals = ev[0].astype(out_dtype)
-        evecs = vec[0].astype(out_dtype)
-        if ckpt is not None:
-            from kronfluence_tpu.utils.save import save_file
+        pending_by_dim.setdefault(original.shape[0], []).append(
+            (pair_idx, module_name, out_dtype, ckpt)
+        )
 
-            ckpt.parent.mkdir(parents=True, exist_ok=True)
-            tmp = ckpt.with_suffix(".tmp")
-            save_file({"evals": evals, "evecs": evecs}, tmp)
-            tmp.replace(ckpt)
-        eigen_factors[eval_name][module_name] = evals
-        eigen_factors[evec_name][module_name] = evecs
+    for dim, items in pending_by_dim.items():
+        mats = np.empty((len(items), dim, dim), np.float32)
+        for j, (pair_idx, module_name, _dt, _ck) in enumerate(items):
+            cov_name, count_name = _FACTOR_PAIRS[pair_idx][:2]
+            count = float(np.asarray(covariance_factors[count_name][module_name]))
+            M = np.asarray(
+                covariance_factors[cov_name][module_name], dtype=np.float32
+            ) / count
+            mats[j] = 0.5 * (M + M.T)
+
+        def on_result(j, ev, vec, items=items):
+            pair_idx, module_name, out_dtype, ckpt = items[j]
+            _cov, _count, evec_name, eval_name = _FACTOR_PAIRS[pair_idx]
+            evals = ev.astype(out_dtype)
+            evecs = vec.astype(out_dtype)
+            if ckpt is not None:
+                from kronfluence_tpu.utils.save import save_file
+
+                ckpt.parent.mkdir(parents=True, exist_ok=True)
+                tmp = ckpt.with_suffix(".tmp")
+                save_file({"evals": evals, "evecs": evecs}, tmp)
+                tmp.replace(ckpt)
+            eigen_factors[eval_name][module_name] = evals
+            eigen_factors[evec_name][module_name] = evecs
+
+        eigh_large(mats, on_result=on_result)
 
 
 def _device_eigendecomposition(

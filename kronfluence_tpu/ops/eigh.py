@@ -618,10 +618,21 @@ def _is_memory_error(exc: Exception) -> bool:
     )
 
 
-def eigh_large(matrices, _device_solver=None) -> Tuple[np.ndarray, np.ndarray]:
-    """Llama-scale eigendecomposition: one matrix at a time, host-side results,
-    host fp64 LAPACK fallback per matrix. Matches the reference's GPU->CPU
-    retry (kronfluence/factor/eigen.py:199-213).
+def eigh_large(
+    matrices, _device_solver=None, on_result=None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Llama-scale eigendecomposition: host-side results, host fp64 LAPACK
+    fallback per matrix. Matches the reference's GPU->CPU retry
+    (kronfluence/factor/eigen.py:199-213).
+
+    `KF_LARGE_EIGH_BATCH` (jacobi route only) solves that many matrices per
+    batched sweep program, amortizing each round's pivot-eigh dispatch chain
+    across matrices (see benchmarks/micro_eigh_llama.py --batch for the
+    measured cross-matrix speedup). A batched-solve RESOURCE_EXHAUSTED
+    drops back to per-matrix solves, then per-matrix host LAPACK.
+    `KF_LARGE_EIGH_BLOCK` overrides the sweep block size (default 32).
+    `on_result(i, evals, evecs)` fires as each matrix's host-side result
+    lands — the crash-checkpoint hook for hour-scale runs.
 
     The memory protocol is shaped by the first recorded 8B-shape run
     (2026-08-19, rc=1 after 6460 s): the whole (6, 14336, 14336) group lived
@@ -657,6 +668,7 @@ def eigh_large(matrices, _device_solver=None) -> Tuple[np.ndarray, np.ndarray]:
     n = matrices.shape[-1]
     host_A = np.asarray(matrices, dtype=np.float32).reshape((-1, n, n))
     solver_name = os.environ.get("KF_LARGE_EIGH_SOLVER", "jacobi").lower()
+    _blk = int(os.environ.get("KF_LARGE_EIGH_BLOCK", "32"))
     if _device_solver is not None:
         solve = _device_solver
     elif solver_name == "host":
@@ -668,7 +680,7 @@ def eigh_large(matrices, _device_solver=None) -> Tuple[np.ndarray, np.ndarray]:
             # single-program eigh_batched faults at Llama dims — its
             # convergence while_loop runs minutes on-device and the tunneled
             # backend kills long dispatches).
-            ev, vec = eigh_jacobi_hostloop(M[None])
+            ev, vec = eigh_jacobi_hostloop(M[None], block_size=_blk)
             return ev[0], vec[0]
 
     elif solver_name == "dc":
@@ -723,12 +735,36 @@ def eigh_large(matrices, _device_solver=None) -> Tuple[np.ndarray, np.ndarray]:
     from kronfluence_tpu.utils.logger import get_logger
 
     _log = get_logger("kronfluence_tpu.ops.eigh", level=logging.INFO)
+    X = host_A.shape[0]
+    batch_k = 1
+    if solve is not None and _device_solver is None and solver_name == "jacobi":
+        batch_k = max(1, int(os.environ.get("KF_LARGE_EIGH_BATCH", "1")))
     ev_parts, vec_parts = [], []
-    for i in range(host_A.shape[0]):
+    i = 0
+    while i < X:
+        k = min(batch_k, X - i)
         t_mat = _time.time()
-        ev_np = vec_np = None
-        if solve is not None:
-            dev = None
+        got = None  # ((k, n), (k, n, n)) host fp32
+        if solve is not None and k > 1:
+            try:
+                dev = jnp.asarray(host_A[i : i + k])
+                ev, vec = eigh_jacobi_hostloop(dev, block_size=_blk)
+                jax.block_until_ready((ev, vec))
+                got = (
+                    np.asarray(ev, dtype=np.float32),
+                    np.asarray(vec, dtype=np.float32),
+                )
+            except Exception as exc:  # noqa: BLE001 — re-raised unless memory-related
+                if not _is_memory_error(exc):
+                    raise
+                logging.getLogger("kronfluence_tpu").warning(
+                    "eigh_large: batched solve of %d matrices (dim %d) "
+                    "exhausted device memory; retrying one matrix at a time.",
+                    k, n,
+                )
+                batch_k = 1
+                continue
+        elif solve is not None:
             try:
                 dev = jnp.asarray(host_A[i])
                 ev, vec = solve(dev)
@@ -737,32 +773,35 @@ def eigh_large(matrices, _device_solver=None) -> Tuple[np.ndarray, np.ndarray]:
                 # and a RESOURCE_EXHAUSTED escaping this try would skip the
                 # host fallback. The fetch also IS the result handoff (c).
                 jax.block_until_ready((ev, vec))
-                ev_np = np.asarray(ev, dtype=np.float32)
-                vec_np = np.asarray(vec, dtype=np.float32)
+                got = (
+                    np.asarray(ev, dtype=np.float32)[None],
+                    np.asarray(vec, dtype=np.float32)[None],
+                )
             except Exception as exc:  # noqa: BLE001 — re-raised unless memory-related
                 if not _is_memory_error(exc):
                     raise
-                ev_np = vec_np = None
-                import logging
-
                 logging.getLogger("kronfluence_tpu").warning(
                     "eigh_large: device solve of matrix %d/%d (dim %d) "
                     "exhausted device memory; falling back to host %s LAPACK "
                     "(~%.0f s single-core).",
-                    i + 1, host_A.shape[0], n, host_dtype.name, per_matrix_s,
+                    i + 1, X, n, host_dtype.name, per_matrix_s,
                 )
-        if ev_np is None:
+        if got is None:
             evh, vech = np.linalg.eigh(host_A[i].astype(host_dtype))
-            ev_np = evh.astype(np.float32)
-            vec_np = vech.astype(np.float32)
-        ev_parts.append(ev_np)
-        vec_parts.append(vec_np)
-        # Multi-minute solves: per-matrix progress so hour-scale runs are
+            got = (evh.astype(np.float32)[None], vech.astype(np.float32)[None])
+            k = 1
+        for j in range(k):
+            ev_parts.append(got[0][j])
+            vec_parts.append(got[1][j])
+            if on_result is not None:
+                on_result(i + j, got[0][j], got[1][j])
+        # Multi-minute solves: per-chunk progress so hour-scale runs are
         # observable (stderr-visible via the rank-gated logger).
         _log.info(
-            "eigh_large: matrix %d/%d (dim %d) solved in %.1f s",
-            i + 1, host_A.shape[0], n, _time.time() - t_mat,
+            "eigh_large: matrices %d-%d/%d (dim %d) solved in %.1f s",
+            i + 1, i + k, X, n, _time.time() - t_mat,
         )
+        i += k
     evals = np.stack(ev_parts).reshape(batch_shape + (n,))
     vecs = np.stack(vec_parts).reshape(batch_shape + (n, n))
     return evals, vecs

@@ -172,6 +172,28 @@ def test_eigh_large_matches_lapack():
     np.testing.assert_allclose(recon, M, rtol=1e-3, atol=1e-4)
 
 
+def test_eigh_large_batched_solve(monkeypatch):
+    """KF_LARGE_EIGH_BATCH>1 solves chunks through one batched sweep program;
+    per-matrix on_result callbacks fire in order (the crash-checkpoint hook),
+    and results match LAPACK."""
+    from kronfluence_tpu.ops.eigh import eigh_large
+
+    monkeypatch.setenv("KF_LARGE_EIGH_BATCH", "2")
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((5, 48, 16)).astype(np.float32)
+    M = A @ A.transpose(0, 2, 1) / 16 + 0.01 * np.eye(48, dtype=np.float32)
+    seen = []
+    evals, vecs = eigh_large(
+        jnp.asarray(M), on_result=lambda i, ev, vec: seen.append(i)
+    )
+    assert seen == [0, 1, 2, 3, 4]
+    ref_vals = np.linalg.eigvalsh(M.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(evals), ref_vals, rtol=1e-4, atol=1e-5)
+    recon = np.einsum("bij,bj,bkj->bik", np.asarray(vecs), np.asarray(evals),
+                      np.asarray(vecs))
+    np.testing.assert_allclose(recon, M, rtol=1e-3, atol=1e-4)
+
+
 def test_eigh_large_host_fallback_on_oom():
     """Device OOM per matrix -> host fp64 LAPACK, matching the reference's
     GPU->CPU eigendecomposition retry semantics."""
