@@ -486,13 +486,16 @@ def main():
     # Resolved to a concrete step count (auto or env override) before stage 4.
     score_args.query_gradient_accumulation_steps = QUERY_ACC or None
     # KRON_BENCH_QUERY_STORAGE: store resident query blocks in this dtype.
-    # float8_e4m3fn halves the resident block's bytes, so about twice the
-    # queries amortize each train pass (see ops/quantize.py; scaled per
-    # (query, module)). It is NOT the default recipe: the default stays the
-    # recorded-green unquantized bf16-block run; the fp8 A/B is run explicitly
-    # via KRON_BENCH_QUERY_STORAGE=float8_e4m3fn and certified by the
-    # fidelity mode below before any default flip.
-    query_storage = os.environ.get("KRON_BENCH_QUERY_STORAGE", "none")
+    # float8_e4m3fn halves the bf16 block's bytes, so twice the queries
+    # amortize each train pass (see ops/quantize.py; scaled per
+    # (query, module)). DEFAULT since 2026-08-21: the full-scale fp8 run is
+    # recorded green (80-query blocks, 7 train passes, 15,603 pairs/s —
+    # benchmarks/results/full_gpt2_wikitext_fp8_2026-08-21.json) and its
+    # FULL-WIDTH fp8<->fp32 certificate over all 481x4,656 pairs is Pearson
+    # 0.9990 / Spearman 0.9980 (results/fp8_fullwidth_fidelity_2026-08-21),
+    # vs the reference's published 0.96 for ITS low-precision recipe.
+    # KRON_BENCH_QUERY_STORAGE=none reproduces the unquantized bf16 runs.
+    query_storage = os.environ.get("KRON_BENCH_QUERY_STORAGE", "float8_e4m3fn")
     query_storage = None if query_storage.lower() in ("", "none", "0") else query_storage
     if query_storage:
         from kronfluence_tpu.arguments import ScoreArguments
