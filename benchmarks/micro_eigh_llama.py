@@ -16,8 +16,11 @@ Usage:
   python benchmarks/micro_eigh_llama.py [--dim 14336] [--host] [--cov PATH KEY]
 """
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -625,12 +625,16 @@ def eigh_large(
     fallback per matrix. Matches the reference's GPU->CPU retry
     (kronfluence/factor/eigen.py:199-213).
 
-    `KF_LARGE_EIGH_BATCH` (jacobi route only) solves that many matrices per
-    batched sweep program, amortizing each round's pivot-eigh dispatch chain
-    across matrices (see benchmarks/micro_eigh_llama.py --batch for the
-    measured cross-matrix speedup). A batched-solve RESOURCE_EXHAUSTED
-    drops back to per-matrix solves, then per-matrix host LAPACK.
-    `KF_LARGE_EIGH_BLOCK` overrides the sweep block size (default 32).
+    `KF_LARGE_EIGH_BLOCK` overrides the sweep block size (default 128 —
+    measured 5.6x faster than 32 at 14336^2, see micro_eigh_llama.py).
+    `KF_LARGE_EIGH_BATCH` (jacobi route only, default 1) solves that many
+    matrices per batched sweep program. Measured 2026-08-21 at 14336^2 x2:
+    block 32 crashed the TPU worker outright (not a clean RESOURCE_EXHAUSTED
+    the fallback chain can catch); block 128 ran green but ~neutral (76 s/
+    matrix vs 72.5 single — the big-block sweeps are compute-bound). Opt-in;
+    measure with micro_eigh_llama.py --batch on your backend first. A
+    batched-solve RESOURCE_EXHAUSTED drops back to per-matrix solves, then
+    per-matrix host LAPACK.
     `on_result(i, evals, evecs)` fires as each matrix's host-side result
     lands — the crash-checkpoint hook for hour-scale runs.
 
@@ -668,7 +672,11 @@ def eigh_large(
     n = matrices.shape[-1]
     host_A = np.asarray(matrices, dtype=np.float32).reshape((-1, n, n))
     solver_name = os.environ.get("KF_LARGE_EIGH_SOLVER", "jacobi").lower()
-    _blk = int(os.environ.get("KF_LARGE_EIGH_BLOCK", "32"))
+    # Block size 128 measured 5.6x faster than 32 at 14336^2 (72.5 s vs
+    # 407 s steady, same residual/orthogonality, 8 sweeps vs 15; 256 is
+    # only ~10% better still; benchmarks/micro_eigh_llama.py 2026-08-21).
+    # Fewer, deeper rounds amortize each round's batched pivot-eigh chain.
+    _blk = int(os.environ.get("KF_LARGE_EIGH_BLOCK", "128"))
     if _device_solver is not None:
         solve = _device_solver
     elif solver_name == "host":
