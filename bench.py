@@ -491,11 +491,20 @@ def main():
     # (query, module)). DEFAULT since 2026-08-21: the full-scale fp8 run is
     # recorded green (80-query blocks, 7 train passes, 15,603 pairs/s —
     # benchmarks/results/full_gpt2_wikitext_fp8_2026-08-21.json) and its
-    # FULL-WIDTH fp8<->fp32 certificate over all 481x4,656 pairs is Pearson
-    # 0.9990 / Spearman 0.9980 (results/fp8_fullwidth_fidelity_2026-08-21),
-    # vs the reference's published 0.96 for ITS low-precision recipe.
+    # production-factor FULL-WIDTH fp8<->fp32 certificate over all
+    # 481x4,656 pairs is Pearson 0.9714 / Spearman 0.9521
+    # (results/fp8_fullwidth_fidelity_prodfactors_2026-08-21) — above the
+    # reference's published 0.96 for ITS low-precision recipe.
     # KRON_BENCH_QUERY_STORAGE=none reproduces the unquantized bf16 runs.
     query_storage = os.environ.get("KRON_BENCH_QUERY_STORAGE", "float8_e4m3fn")
+    # KRON_BENCH_DAMPING: "default" keeps the recipe's 1e-8 (reference
+    # parity); "heuristic" sets damping_factor=None (0.1 x mean eigenvalue —
+    # the fp8 fidelity warning's recommendation); a float sets it directly.
+    _damp = os.environ.get("KRON_BENCH_DAMPING", "default")
+    if _damp == "heuristic":
+        score_args.damping_factor = None
+    elif _damp not in ("", "default"):
+        score_args.damping_factor = float(_damp)
     query_storage = None if query_storage.lower() in ("", "none", "0") else query_storage
     if query_storage:
         from kronfluence_tpu.arguments import ScoreArguments
@@ -629,7 +638,13 @@ def main():
 
         # fp32 blocks are 2x the bf16 footprint; accumulation=None lets the
         # driver size the fp32 block from the memory model independently.
-        fp32_score_args = ScoreArguments(query_gradient_accumulation_steps=None)
+        # Match the timed recipe's damping exactly: fidelity must isolate
+        # the storage/compute dtype, not compare two different
+        # preconditioners (KRON_BENCH_DAMPING changes both sides together).
+        fp32_score_args = ScoreArguments(
+            query_gradient_accumulation_steps=None,
+            damping_factor=score_args.damping_factor,
+        )
         force(warm_precondition_state_cache(
             model, factors, factor_args.strategy, fp32_score_args, spec_names))
     factors.clear()
