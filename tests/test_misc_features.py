@@ -237,6 +237,7 @@ def test_get_module_summary_and_presets(tmp_path):
     )
     from kronfluence_tpu.utils.common.score_arguments import (
         default_score_arguments,
+        fp8_query_score_arguments,
         pytest_score_arguments,
     )
 
@@ -256,6 +257,10 @@ def test_get_module_summary_and_presets(tmp_path):
     assert extreme.covariance_module_partitions == 4
     assert default_score_arguments(query_gradient_low_rank=16).query_gradient_accumulation_steps == 10
     assert pytest_score_arguments().to_dict()["score_dtype"] == "float64"
+    fp8 = fp8_query_score_arguments()
+    assert fp8.query_gradient_storage_dtype == "float8_e4m3fn"
+    assert fp8.damping_factor is None  # heuristic: the certified-0.9999 recipe
+    assert fp8.score_dtype == "bfloat16"
 
 
 def test_partitioned_factors_match_unpartitioned(tmp_path):
