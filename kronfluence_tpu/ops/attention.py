@@ -43,8 +43,11 @@ import jax.numpy as jnp
 # naive 5.86 ms vs flash 6.68 ms isolated; 338.8 vs 167.0 ex/s inside the
 # real capture program, benchmarks/micro_cov.py 2026-08-20), and at Llama
 # dims (head_dim 128) its Mosaic compile did not return within 20 min on the
-# remote compile server. KRON_FLASH_ATTN=1 opts into the probe+timed-A/B
-# routing; =force skips the timing gate.
+# remote compile server. Long-context check (2026-08-21, b=4 h=12 bf16
+# fwd+bwd): naive also wins at seq 1024 (4.7 vs 7.0 ms) and seq 2048
+# (10.0 vs 18.8 ms) — default-off holds across the long-context regime on
+# this backend, not just at seq 512. KRON_FLASH_ATTN=1 opts into the
+# probe+timed-A/B routing; =force skips the timing gate.
 _FLASH_ENABLED = os.environ.get("KRON_FLASH_ATTN", "0") not in ("0", "")
 
 # Flash kernel seq-block granularity (jax pallas TPU kernel): both the
