@@ -300,3 +300,25 @@ class Computer:
             return FactorArguments()
         known = {f.name for f in FactorArguments.__dataclass_fields__.values()}
         return FactorArguments(**{k: v for k, v in saved.items() if k in known})
+
+    def load_factor_args(self, factors_name: str) -> Optional[FactorArguments]:
+        """Reference-named accessor (computer.py:336): the persisted
+        FactorArguments of `factors_name`, or None when never fitted."""
+        saved = self._load_arguments(
+            FACTOR_ARGUMENTS_NAME, self.factors_output_dir(factors_name)
+        )
+        if saved is None:
+            return None
+        known = {f.name for f in FactorArguments.__dataclass_fields__.values()}
+        return FactorArguments(**{k: v for k, v in saved.items() if k in known})
+
+    def load_score_args(self, scores_name: str) -> Optional[ScoreArguments]:
+        """Reference-named accessor (computer.py:365): the persisted
+        ScoreArguments of `scores_name`, or None when never computed."""
+        saved = self._load_arguments(
+            SCORE_ARGUMENTS_NAME, self.scores_output_dir(scores_name)
+        )
+        if saved is None:
+            return None
+        known = {f.name for f in ScoreArguments.__dataclass_fields__.values()}
+        return ScoreArguments(**{k: v for k, v in saved.items() if k in known})

@@ -584,3 +584,30 @@ def test_wait_for_async_saves_reraises(tmp_path, monkeypatch):
     with pytest.raises(OSError, match="disk full"):
         analyzer.wait_for_async_saves()
     assert analyzer._pending_saves == []
+
+
+def test_load_factor_and_score_args_roundtrip(tmp_path):
+    """Reference-named accessors (reference computer.py:336,365): persisted
+    arguments load back as dataclasses; None before anything is saved."""
+    from kronfluence_tpu import Analyzer, ScoreArguments
+
+    model, params, task = make_mlp()
+    analyzer = Analyzer("args_rt", model, task, params=params, output_dir=str(tmp_path))
+    assert analyzer.load_factor_args("nope") is None
+    assert analyzer.load_score_args("nope") is None
+
+    data = make_regression_data(8)
+    fa = FactorArguments(strategy="ekfac", **FP64_FACTOR)
+    analyzer.fit_all_factors("f", data, per_device_batch_size=4, factor_args=fa)
+    loaded = analyzer.load_factor_args("f")
+    assert loaded is not None and loaded.strategy == "ekfac"
+    assert loaded.use_empirical_fisher
+
+    sa = ScoreArguments(query_gradient_accumulation_steps=2, score_dtype="float64",
+                        per_sample_gradient_dtype="float64", precondition_dtype="float64")
+    analyzer.compute_pairwise_scores("s", "f", data, data, per_device_query_batch_size=4,
+                                     per_device_train_batch_size=4, score_args=sa)
+    sloaded = analyzer.load_score_args("s")
+    assert sloaded is not None
+    assert sloaded.query_gradient_accumulation_steps == 2
+    assert sloaded.score_dtype == "float64"
