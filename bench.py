@@ -90,7 +90,7 @@ N_QUERY = max(N_QUERY, QUERY_BATCH * max(QUERY_ACC, 1))
 # left before the driver's timeout): full width when it fits, a one-block
 # certificate (labeled as such) when short, skipped when there is no room.
 FIDELITY = bool(_env("FIDELITY", 0 if QUICK else 1))
-BUDGET_S = float(_env("BUDGET_S", 1080))
+BUDGET_S = float(os.environ.get("KRON_BENCH_BUDGET_S", 1080))
 # KRON_BENCH_CONCURRENT_WARMUP: pre-warm all four stages' executables on
 # threads before any stage is timed. Stage programs are independent; eigh/
 # lambda/score warm against FABRICATED factor inputs with exactly the
@@ -729,7 +729,11 @@ def main():
         "vs_baseline": round(pairs_rate / REF_PAIRS_PER_S, 3),
         "mode": "quick_projected" if QUICK else "full_measured",
         "model_form": MODEL_FORM,
-        "chip": "v5e (tunneled, 1-core host)",
+        "chip": (
+            "cpu (control-flow smoke)"
+            if jax.default_backend() == "cpu"
+            else f"{jax.devices()[0].device_kind} (tunneled, 1-core host)"
+        ),
         "query_storage_dtype": query_storage,
         "query_block": QUERY_BATCH * query_acc,
         "e2e_warm_s": round(grand, 1),
@@ -817,17 +821,21 @@ def _fidelity_phase(
         ra = np.argsort(np.argsort(a)).astype(np.float64)
         rb = np.argsort(np.argsort(b)).astype(np.float64)
         spear.append(np.corrcoef(ra, rb)[0, 1])
+    # Neutral key names: the low-precision side is whatever the timed recipe
+    # used (bf16 blocks or fp8 storage — see query_storage_dtype in the same
+    # record). The old pearson_bf16_fp32 name misread as a bf16 regression
+    # when an fp8 run's 0.9714 was compared against bf16 runs' 0.9994.
     fidelity = {
-        "pearson_bf16_fp32": round(float(np.mean(pear)), 4),
-        "spearman_bf16_fp32": round(float(np.mean(spear)), 4),
+        "pearson_lowp_fp32": round(float(np.mean(pear)), 4),
+        "spearman_lowp_fp32": round(float(np.mean(spear)), 4),
         "fidelity_scope": scope,
         "queries": n_q,
         "train": N_TRAIN,
     }
     log(
         f"low-precision<->fp32 score correlation ({n_q} queries x "
-        f"{N_TRAIN} train, {scope}): pearson {fidelity['pearson_bf16_fp32']:.4f}, "
-        f"spearman {fidelity['spearman_bf16_fp32']:.4f} "
+        f"{N_TRAIN} train, {scope}): pearson {fidelity['pearson_lowp_fp32']:.4f}, "
+        f"spearman {fidelity['spearman_lowp_fp32']:.4f} "
         f"(reference publishes 0.96 over 481 queries)"
     )
     return fidelity

@@ -291,34 +291,32 @@ class Computer:
             factors.update(factor_io.load_lambda_matrices(factors_dir))
         return factors
 
-    def loaded_factor_args(self, factors_name: str) -> FactorArguments:
-        """Reconstructs the FactorArguments used to fit `factors_name`."""
-        saved = self._load_arguments(
-            FACTOR_ARGUMENTS_NAME, self.factors_output_dir(factors_name)
-        )
+    def _load_args_as(self, cls, arguments_name: str, output_dir: Path):
+        """Persisted arguments JSON -> dataclass, dropping unknown fields
+        (forward-compat with artifacts written by newer schemas)."""
+        saved = self._load_arguments(arguments_name, output_dir)
         if saved is None:
-            return FactorArguments()
-        known = {f.name for f in FactorArguments.__dataclass_fields__.values()}
-        return FactorArguments(**{k: v for k, v in saved.items() if k in known})
+            return None
+        known = {f.name for f in cls.__dataclass_fields__.values()}
+        return cls(**{k: v for k, v in saved.items() if k in known})
 
     def load_factor_args(self, factors_name: str) -> Optional[FactorArguments]:
         """Reference-named accessor (computer.py:336): the persisted
         FactorArguments of `factors_name`, or None when never fitted."""
-        saved = self._load_arguments(
-            FACTOR_ARGUMENTS_NAME, self.factors_output_dir(factors_name)
+        return self._load_args_as(
+            FactorArguments, FACTOR_ARGUMENTS_NAME,
+            self.factors_output_dir(factors_name),
         )
-        if saved is None:
-            return None
-        known = {f.name for f in FactorArguments.__dataclass_fields__.values()}
-        return FactorArguments(**{k: v for k, v in saved.items() if k in known})
 
     def load_score_args(self, scores_name: str) -> Optional[ScoreArguments]:
         """Reference-named accessor (computer.py:365): the persisted
         ScoreArguments of `scores_name`, or None when never computed."""
-        saved = self._load_arguments(
-            SCORE_ARGUMENTS_NAME, self.scores_output_dir(scores_name)
+        return self._load_args_as(
+            ScoreArguments, SCORE_ARGUMENTS_NAME,
+            self.scores_output_dir(scores_name),
         )
-        if saved is None:
-            return None
-        known = {f.name for f in ScoreArguments.__dataclass_fields__.values()}
-        return ScoreArguments(**{k: v for k, v in saved.items() if k in known})
+
+    def loaded_factor_args(self, factors_name: str) -> FactorArguments:
+        """`load_factor_args` with a default-arguments fallback (the stage
+        drivers' "use whatever the artifact was fitted with" path)."""
+        return self.load_factor_args(factors_name) or FactorArguments()

@@ -200,32 +200,44 @@ def _large_group_eigendecomposition(
             (pair_idx, module_name, out_dtype, ckpt)
         )
 
+    # Stream CHUNKS of batch_k matrices through eigh_large rather than
+    # stacking the whole group host-side: at the real 32-layer 8B recipe a
+    # 96-matrix 14336^2 group would need ~79 GB for the stack plus as much
+    # again for the stacked eigenpair return nobody reads. Host peak is now
+    # ~2 x batch_k matrices (+ their eigenvectors), matching the pre-batching
+    # footprint at the default batch_k=1.
+    import os as _os
+
+    batch_k = max(1, int(_os.environ.get("KF_LARGE_EIGH_BATCH", "1")))
     for dim, items in pending_by_dim.items():
-        mats = np.empty((len(items), dim, dim), np.float32)
-        for j, (pair_idx, module_name, _dt, _ck) in enumerate(items):
-            cov_name, count_name = _FACTOR_PAIRS[pair_idx][:2]
-            count = float(np.asarray(covariance_factors[count_name][module_name]))
-            M = np.asarray(
-                covariance_factors[cov_name][module_name], dtype=np.float32
-            ) / count
-            mats[j] = 0.5 * (M + M.T)
+        for c0 in range(0, len(items), batch_k):
+            chunk = items[c0 : c0 + batch_k]
+            mats = np.empty((len(chunk), dim, dim), np.float32)
+            for j, (pair_idx, module_name, _dt, _ck) in enumerate(chunk):
+                cov_name, count_name = _FACTOR_PAIRS[pair_idx][:2]
+                count = float(np.asarray(covariance_factors[count_name][module_name]))
+                M = np.asarray(
+                    covariance_factors[cov_name][module_name], dtype=np.float32
+                ) / count
+                mats[j] = 0.5 * (M + M.T)
 
-        def on_result(j, ev, vec, items=items):
-            pair_idx, module_name, out_dtype, ckpt = items[j]
-            _cov, _count, evec_name, eval_name = _FACTOR_PAIRS[pair_idx]
-            evals = ev.astype(out_dtype)
-            evecs = vec.astype(out_dtype)
-            if ckpt is not None:
-                from kronfluence_tpu.utils.save import save_file
+            def on_result(j, ev, vec, chunk=chunk):
+                pair_idx, module_name, out_dtype, ckpt = chunk[j]
+                _cov, _count, evec_name, eval_name = _FACTOR_PAIRS[pair_idx]
+                evals = ev.astype(out_dtype)
+                evecs = vec.astype(out_dtype)
+                if ckpt is not None:
+                    from kronfluence_tpu.utils.save import save_file
 
-                ckpt.parent.mkdir(parents=True, exist_ok=True)
-                tmp = ckpt.with_suffix(".tmp")
-                save_file({"evals": evals, "evecs": evecs}, tmp)
-                tmp.replace(ckpt)
-            eigen_factors[eval_name][module_name] = evals
-            eigen_factors[evec_name][module_name] = evecs
+                    ckpt.parent.mkdir(parents=True, exist_ok=True)
+                    tmp = ckpt.with_suffix(".tmp")
+                    save_file({"evals": evals, "evecs": evecs}, tmp)
+                    tmp.replace(ckpt)
+                eigen_factors[eval_name][module_name] = evals
+                eigen_factors[evec_name][module_name] = evecs
 
-        eigh_large(mats, on_result=on_result)
+            eigh_large(mats, on_result=on_result)
+            del mats
 
 
 def _device_eigendecomposition(

@@ -753,6 +753,12 @@ def eigh_large(
         k = min(batch_k, X - i)
         t_mat = _time.time()
         got = None  # ((k, n), (k, n, n)) host fp32
+        # Memory protocol (b): the previous iteration's device buffers must
+        # be dead before this iteration's upload — clear every device
+        # reference (input AND results) in all paths, including the
+        # batched-OOM retry, or the retry re-uploads on top of the failed
+        # chunk's still-referenced buffers.
+        dev = ev = vec = None
         if solve is not None and k > 1:
             try:
                 dev = jnp.asarray(host_A[i : i + k])
@@ -771,7 +777,10 @@ def eigh_large(
                     k, n,
                 )
                 batch_k = 1
+                dev = ev = vec = None
                 continue
+            finally:
+                dev = ev = vec = None
         elif solve is not None:
             try:
                 dev = jnp.asarray(host_A[i])
@@ -794,6 +803,8 @@ def eigh_large(
                     "(~%.0f s single-core).",
                     i + 1, X, n, host_dtype.name, per_matrix_s,
                 )
+            finally:
+                dev = ev = vec = None
         if got is None:
             evh, vech = np.linalg.eigh(host_A[i].astype(host_dtype))
             got = (evh.astype(np.float32)[None], vech.astype(np.float32)[None])

@@ -33,16 +33,29 @@ if _cache.lower() not in ("0", "off", "none", ""):
     os.makedirs(_cache, exist_ok=True)
     # Bound the cache: evict oldest entries past ~1.5 GB so repeated runs
     # (each jax config tweak re-keys every executable) can't grow it forever.
-    _entries = sorted(
-        (os.path.join(_cache, f) for f in os.listdir(_cache)),
-        key=os.path.getmtime,
-        reverse=True,
-    )
-    _total = 0
-    for _f in _entries:
-        _total += os.path.getsize(_f)
-        if _total > 1_500_000_000:
-            os.unlink(_f)
+    # Best-effort: the dir is shared across concurrent sessions, so entries
+    # can vanish mid-walk; never let eviction abort test collection.
+    try:
+        _entries = []
+        for _f in os.listdir(_cache):
+            _p = os.path.join(_cache, _f)
+            try:
+                if os.path.isfile(_p):
+                    _st = os.stat(_p)
+                    _entries.append((_st.st_mtime, _st.st_size, _p))
+            except OSError:
+                continue
+        _entries.sort(reverse=True)  # newest first
+        _total = 0
+        for _mtime, _size, _p in _entries:
+            _total += _size
+            if _total > 1_500_000_000:
+                try:
+                    os.unlink(_p)
+                except OSError:
+                    pass
+    except OSError:
+        pass
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

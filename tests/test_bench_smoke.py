@@ -61,8 +61,8 @@ def test_metric_line_prints_before_fidelity_and_enriched_after():
     records, _ = _run_bench({"KRON_BENCH_BUDGET_S": "100000"})
     # Primary line first (no fidelity fields), enriched line after.
     assert len(records) == 2
-    assert "pearson_bf16_fp32" not in records[0]
-    assert "pearson_bf16_fp32" in records[1]
+    assert "pearson_lowp_fp32" not in records[0]
+    assert "pearson_lowp_fp32" in records[1]
     assert records[1]["fidelity_scope"] in ("full_width", "one_block")
     # The enriched line is a superset of the primary record.
     for key, val in records[0].items():
@@ -73,5 +73,5 @@ def test_metric_line_prints_before_fidelity_and_enriched_after():
 def test_exhausted_budget_skips_fidelity_but_keeps_metric():
     records, stderr = _run_bench({"KRON_BENCH_BUDGET_S": "1"})
     assert len(records) == 1  # metric stands; no enriched line
-    assert "pearson_bf16_fp32" not in records[0]
+    assert "pearson_lowp_fp32" not in records[0]
     assert "fidelity: skipped" in stderr
