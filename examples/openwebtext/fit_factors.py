@@ -19,11 +19,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from kronfluence_tpu import Analyzer, prepare_model
 from kronfluence_tpu.models.transformer import TransformerConfig, TransformerLM
-from kronfluence_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+from kronfluence_tpu.parallel.mesh import make_mesh
 from kronfluence_tpu.utils.common.factor_arguments import (
     extreme_reduce_memory_factor_arguments,
 )
@@ -84,14 +83,9 @@ def main():
     )["params"]
 
     # FSDP-style: shard every matrix's last dim over the model axis.
-    def shard_param(p):
-        if p.ndim >= 2 and p.shape[-1] % args.model_parallel == 0:
-            return jax.device_put(
-                p, NamedSharding(mesh, P(*([None] * (p.ndim - 1) + [MODEL_AXIS])))
-            )
-        return jax.device_put(p, NamedSharding(mesh, P()))
+    from kronfluence_tpu.parallel.mesh import shard_params_fsdp
 
-    params = jax.tree_util.tree_map(shard_param, params)
+    params = shard_params_fsdp(params, mesh)
 
     rng = np.random.default_rng(0)
     train_data = {

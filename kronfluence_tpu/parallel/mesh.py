@@ -47,6 +47,24 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def shard_params_fsdp(params: Any, mesh: Mesh) -> Any:
+    """FSDP-style parameter placement: every matrix-valued leaf's LAST axis
+    shards over the model axis (divisibility permitting); everything else
+    replicates. The convenience analogue of the reference's
+    `apply_fsdp(model)` (utils/model.py:58) — pair with factor_sharding for
+    the factor state, as fit_factors.py/dryrun_multichip do.
+    """
+    model_axis = mesh.shape[MODEL_AXIS]
+
+    def place(p):
+        if getattr(p, "ndim", 0) >= 2 and p.shape[-1] % model_axis == 0:
+            spec = P(*([None] * (p.ndim - 1) + [MODEL_AXIS]))
+            return jax.device_put(p, NamedSharding(mesh, spec))
+        return jax.device_put(p, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, params)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
