@@ -71,7 +71,11 @@ def test_metric_line_prints_before_fidelity_and_enriched_after():
 
 @pytest.mark.tier2
 def test_exhausted_budget_skips_fidelity_but_keeps_metric():
-    records, stderr = _run_bench({"KRON_BENCH_BUDGET_S": "1"})
+    # Also rides the KRON_BENCH_DAMPING=heuristic path (damping_factor=None
+    # on both the timed and fp32 recipes) and a float budget value.
+    records, stderr = _run_bench(
+        {"KRON_BENCH_BUDGET_S": "1.5", "KRON_BENCH_DAMPING": "heuristic"}
+    )
     assert len(records) == 1  # metric stands; no enriched line
     assert "pearson_lowp_fp32" not in records[0]
     assert "fidelity: skipped" in stderr
