@@ -101,6 +101,26 @@ def linear_datamodeling_score(
     return float(per_query.mean()), per_query
 
 
+def collect_subset_measurements(
+    train_fn: Callable[[np.ndarray, int], Any],
+    measure_fn: Callable[[Any], np.ndarray],
+    masks: np.ndarray,
+    seed: int = 0,
+) -> np.ndarray:
+    """Retrains on every subset mask and measures each model: (M, Q) matrix.
+
+    The expensive half of the LDS harness, independent of any score matrix —
+    compute it ONCE and evaluate any number of strategies/recipes against it
+    via `evaluate_lds(..., measurements=...)` (a 4-strategy comparison would
+    otherwise retrain 4x)."""
+    measurements = []
+    for j in range(masks.shape[0]):
+        idx = np.nonzero(masks[j])[0]
+        state = train_fn(idx, seed + j)
+        measurements.append(np.asarray(measure_fn(state)))
+    return np.stack(measurements)
+
+
 def evaluate_lds(
     scores: np.ndarray,
     train_fn: Callable[[np.ndarray, int], Any],
@@ -110,6 +130,7 @@ def evaluate_lds(
     subset_fraction: float = 0.5,
     seed: int = 0,
     masks: Optional[np.ndarray] = None,
+    measurements: Optional[np.ndarray] = None,
 ) -> Tuple[float, np.ndarray]:
     """Full retraining harness.
 
@@ -121,15 +142,15 @@ def evaluate_lds(
         num_subsets / subset_fraction / seed: subset sampling config
             (reference uses 500 x 50%; CI uses tens).
         masks: optional precomputed (M, N) masks.
+        measurements: optional precomputed (M, Q) matrix from
+            `collect_subset_measurements` — skips the retrains entirely
+            (must correspond 1:1 to `masks`).
 
     Returns:
         (mean LDS, per-query LDS).
     """
     if masks is None:
         masks = sample_subset_masks(train_size, num_subsets, subset_fraction, seed)
-    measurements = []
-    for j in range(masks.shape[0]):
-        idx = np.nonzero(masks[j])[0]
-        state = train_fn(idx, seed + j)
-        measurements.append(np.asarray(measure_fn(state)))
-    return linear_datamodeling_score(scores, np.stack(measurements), masks)
+    if measurements is None:
+        measurements = collect_subset_measurements(train_fn, measure_fn, masks, seed)
+    return linear_datamodeling_score(scores, measurements, masks)
