@@ -278,3 +278,23 @@ def test_real_syrk_kernel_executes_inside_shard_map(monkeypatch):
     got = np.asarray(cov_ops.gram(flat, jnp.float32, mesh=mesh))
     want = np.asarray(flat).T @ np.asarray(flat)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_shard_params_fsdp_placement():
+    """shard_params_fsdp: matrices with model-divisible last axes shard over
+    the model axis; vectors and indivisible leaves replicate."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from kronfluence_tpu.parallel.mesh import MODEL_AXIS, shard_params_fsdp
+
+    mesh = make_mesh(data=4, model=2)
+    params = {
+        "w": jnp.zeros((6, 8)),     # divisible by 2 -> sharded
+        "b": jnp.zeros((8,)),       # vector -> replicated
+        "odd": jnp.zeros((4, 7)),   # indivisible -> replicated
+    }
+    placed = shard_params_fsdp(params, mesh)
+    assert placed["w"].sharding.spec == P(None, MODEL_AXIS)
+    assert placed["b"].sharding.spec == P()
+    assert placed["odd"].sharding.spec == P()
