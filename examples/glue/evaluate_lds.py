@@ -20,7 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from kronfluence_tpu import Analyzer, FactorArguments, ScoreArguments, prepare_model
-from kronfluence_tpu.evaluate import evaluate_lds, sample_subset_masks
+from kronfluence_tpu.evaluate import (
+    collect_subset_measurements,
+    evaluate_lds,
+    sample_subset_masks,
+)
 
 from examples.common import train_model
 from examples.glue.pipeline import TextClassificationTask, synthetic_sst2
@@ -90,6 +94,8 @@ def main():
     masks = sample_subset_masks(
         args.num_train, args.num_subsets, args.subset_fraction, seed=3
     )
+    # Retrains are score-independent: run them once, reuse per strategy.
+    measurements = collect_subset_measurements(train_fn, measure_fn, masks, seed=3)
     for strategy in args.strategies:
         analyzer = Analyzer(
             f"glue_lds_{strategy}", model, task, params=params_full,
@@ -107,7 +113,8 @@ def main():
         )
         scores = analyzer.load_pairwise_scores("scores")["all_modules"]
         lds, per_query = evaluate_lds(
-            scores, train_fn, measure_fn, args.num_train, masks=masks
+            scores, train_fn, measure_fn, args.num_train, masks=masks,
+            measurements=measurements
         )
         print(f"LDS[{strategy}] = {lds:.4f} (per-query mean of {len(per_query)})")
 
